@@ -1,0 +1,24 @@
+"""Test harness config: force CPU backend with 8 virtual devices.
+
+This is the JAX-idiomatic "fake multi-node backend" (SURVEY.md §4): sharding,
+shard_map collectives and halo exchange are exercised on an 8-device host mesh
+without TPU hardware.
+
+Note: the TPU PJRT plugin in this image ignores the JAX_PLATFORMS env var, so
+we force the platform through jax.config before any backend is initialized.
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_sessionstart(session):
+    assert jax.default_backend() == "cpu"
+    assert len(jax.devices()) == 8
