@@ -1,0 +1,127 @@
+"""DIP skip network — multi-scale encoder-decoder with per-scale skips.
+
+Capability parity with the reference builder (models/DIP/skip.py:3-95 and
+get_net at models/DIP/__init__.py:8-18), re-designed as a single recursive
+flax module instead of nested nn.Sequential with a monkey-patched .add.
+
+Per scale i (reference skip.py:41-90):
+    skip branch : 1x1 conv -> BN -> act                       (:53-56)
+    deeper      : s2 conv k3 -> BN -> act -> conv k3 -> BN -> act
+                  -> [recurse] -> upsample x2                 (:60-77)
+    merge       : concat(center-crop)[skip, deeper]           (:46-49)
+                  -> BN                                       (:51)
+                  -> conv k3 -> BN -> act                     (:79-81)
+                  -> 1x1 conv -> BN -> act  (need1x1_up)      (:84-87)
+head: 1x1 conv to n_out + sigmoid (:92-94).
+
+All BatchNorms run in train mode during DIP (batch stats; DIP.py never calls
+.eval()), which this module expresses with use_running_average=False.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+from tpusr.models.layers import (
+    BatchNorm,
+    Conv,
+    activation,
+    concat_center_crop,
+    upsample2x,
+)
+
+
+class SkipNet(nn.Module):
+    num_input_channels: int = 2
+    num_output_channels: int = 3
+    num_channels_down: Sequence[int] = (16, 32, 64, 128, 128)
+    num_channels_up: Sequence[int] = (16, 32, 64, 128, 128)
+    num_channels_skip: Sequence[int] = (4, 4, 4, 4, 4)
+    filter_size_down: int = 3
+    filter_size_up: int = 3
+    filter_skip_size: int = 1
+    need_sigmoid: bool = True
+    need_bias: bool = True
+    pad: str = "zero"  # 'zero' | 'reflection'
+    upsample_mode: str = "nearest"  # 'nearest' | 'bilinear'
+    act_fun: str = "LeakyReLU"
+    need1x1_up: bool = True
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        n_scales = len(self.num_channels_down)
+        act = activation(self.act_fun)
+        ura = not train
+
+        def level(i: int, h: jnp.ndarray) -> jnp.ndarray:
+            last = i == n_scales - 1
+
+            branches = []
+            if self.num_channels_skip[i] != 0:
+                s = Conv(self.num_channels_skip[i], self.filter_skip_size,
+                         use_bias=self.need_bias, pad_mode=self.pad,
+                         name=f"skip{i}_conv")(h)
+                s = BatchNorm(name=f"skip{i}_bn")(s, ura)
+                branches.append(act(s))
+
+            d = Conv(self.num_channels_down[i], self.filter_size_down, stride=2,
+                     use_bias=self.need_bias, pad_mode=self.pad,
+                     name=f"down{i}_conv1")(h)
+            d = act(BatchNorm(name=f"down{i}_bn1")(d, ura))
+            d = Conv(self.num_channels_down[i], self.filter_size_down,
+                     use_bias=self.need_bias, pad_mode=self.pad,
+                     name=f"down{i}_conv2")(d)
+            d = act(BatchNorm(name=f"down{i}_bn2")(d, ura))
+
+            if not last:
+                d = level(i + 1, d)
+            d = upsample2x(d, self.upsample_mode)
+            branches.append(d)
+
+            z = concat_center_crop(branches, axis=-1)
+            z = BatchNorm(name=f"merge{i}_bn")(z, ura)
+            z = Conv(self.num_channels_up[i], self.filter_size_up,
+                     use_bias=self.need_bias, pad_mode=self.pad,
+                     name=f"up{i}_conv")(z)
+            z = act(BatchNorm(name=f"up{i}_bn")(z, ura))
+            if self.need1x1_up:
+                z = Conv(self.num_channels_up[i], 1, use_bias=self.need_bias,
+                         pad_mode=self.pad, name=f"up{i}_conv1x1")(z)
+                z = act(BatchNorm(name=f"up{i}_bn1x1")(z, ura))
+            return z
+
+        out = level(0, x)
+        out = Conv(self.num_output_channels, 1, use_bias=self.need_bias,
+                   pad_mode=self.pad, name="head_conv")(out)
+        if self.need_sigmoid:
+            out = nn.sigmoid(out)
+        return out
+
+
+def build_dip_net(
+    input_depth: int = 32,
+    pad: str = "reflection",
+    upsample_mode: str = "bilinear",
+    n_channels: int = 3,
+    act_fun: str = "LeakyReLU",
+    skip_n33d: int = 128,
+    skip_n33u: int = 128,
+    skip_n11: int = 4,
+    num_scales: int = 5,
+) -> SkipNet:
+    """The DIP.py:169-174 configuration (get_net parity)."""
+    return SkipNet(
+        num_input_channels=input_depth,
+        num_output_channels=n_channels,
+        num_channels_down=(skip_n33d,) * num_scales,
+        num_channels_up=(skip_n33u,) * num_scales,
+        num_channels_skip=(skip_n11,) * num_scales,
+        pad=pad,
+        upsample_mode=upsample_mode,
+        act_fun=act_fun,
+        need_sigmoid=True,
+        need_bias=True,
+    )
