@@ -1,0 +1,74 @@
+"""GAN engine smoke tests: finite losses, parameter movement, determinism,
+legacy-detach parity flag, and eval-mode forward."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpusr.engine.gan import (
+    GANTrainConfig,
+    create_gan_state,
+    gan_train_step,
+    generator_forward,
+)
+
+CFG = GANTrainConfig(factor=4, batch_size=2, hr_patch=32, residual_blocks_count=2)
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    lr = rng.random((2, 8, 8, 3)).astype(np.float32)          # [0,1]
+    hr = (rng.random((2, 32, 32, 3)).astype(np.float32)) * 2 - 1  # [-1,1]
+    return jnp.asarray(lr), jnp.asarray(hr)
+
+
+def test_train_step_finite_and_updates_params():
+    state = create_gan_state(jax.random.key(0), CFG, 1e-4)
+    lr, hr = _batch()
+    new_state, logs = gan_train_step(state, lr, hr, CFG, 1e-4)
+    assert np.isfinite(float(logs["loss_D"]))
+    assert np.isfinite(float(logs["loss_G"]))
+    # both models' params moved
+    d0 = jax.tree.leaves(state.params_G)[0]
+    d1 = jax.tree.leaves(new_state.params_G)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))
+    g0 = jax.tree.leaves(state.params_D)[0]
+    g1 = jax.tree.leaves(new_state.params_D)[0]
+    assert not np.allclose(np.asarray(g0), np.asarray(g1))
+    assert int(new_state.step) == 1
+
+
+def test_multiple_steps_losses_finite():
+    state = create_gan_state(jax.random.key(1), CFG, 1e-4)
+    for i in range(4):
+        lr, hr = _batch(seed=i)
+        state, logs = gan_train_step(state, lr, hr, CFG, 1e-4)
+        assert np.isfinite(float(logs["loss_D"]))
+        assert np.isfinite(float(logs["loss_G"]))
+
+
+def test_legacy_detach_blocks_adversarial_gradient():
+    """With legacy_detach, G's gradient is the pure content gradient."""
+    cfg_fix = CFG
+    cfg_leg = GANTrainConfig(**{**CFG.__dict__, "legacy_detach": True})
+    lr, hr = _batch()
+
+    state = create_gan_state(jax.random.key(2), cfg_fix, 1e-4)
+    s_fix, logs_fix = gan_train_step(state, lr, hr, cfg_fix, 1e-4)
+    s_leg, logs_leg = gan_train_step(state, lr, hr, cfg_leg, 1e-4)
+
+    # same losses (the loss VALUE is identical; only gradients differ)...
+    assert abs(float(logs_fix["loss_G"]) - float(logs_leg["loss_G"])) < 1e-5
+    # ...but different G updates
+    f = jax.tree.leaves(s_fix.params_G)
+    l = jax.tree.leaves(s_leg.params_G)
+    assert any(not np.allclose(np.asarray(a), np.asarray(b)) for a, b in zip(f, l))
+
+
+def test_generator_eval_forward_full_image():
+    state = create_gan_state(jax.random.key(3), CFG, 1e-4)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 16, 24, 3)), jnp.float32)
+    y = generator_forward(state.params_G, state.stats_G, x, CFG, train=False)
+    assert y.shape == (1, 64, 96, 3)
+    assert float(jnp.max(jnp.abs(y))) <= 1.0

@@ -1,0 +1,166 @@
+"""DIP engine — per-image Deep Image Prior super-resolution, fully on-chip.
+
+Capability parity with ``DIP_ISR`` (DIP.py:22-123) + the Adam loop of
+``utils/DIP.py:33-40``, re-designed for TPU:
+
+The reference runs each Adam iteration as ~40 separate CUDA kernel launches
+driven from Python (SURVEY.md §3.1). Here the ENTIRE optimization — reg-noise
+draw, skip-net forward, Lanczos downsample, MSE, backward, Adam update, and
+periodic PSNR/SSIM/LPIPS evaluation — is one jitted program: an outer
+``lax.scan`` over log-chunks wrapping an inner ``lax.scan`` over iterations.
+Host↔device traffic is two transfers total (LR/HR in, resolved image +
+metric curves out).
+
+Faithful semantics:
+  * fresh net, torch-init distribution, fixed uniform z*0.1 (utils/DIP.py:79-96)
+  * per-iter z' = z + N(0,1)*reg_noise_std (DIP.py:51-52)
+  * loss = MSE(lanczos2_downsample(net(z')), LR) (DIP.py:60-65)
+  * Adam(lr) over net params only (DIP.py:98, 'net' opt_over)
+  * metrics on the current HR estimate every log_freq iters, starting at 0
+    (DIP.py:71-87)
+  * final image = net(z) with the un-noised input (DIP.py:102)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from tpusr.engine.metrics import psnr as psnr_fn
+from tpusr.engine.metrics import ssim as ssim_fn
+from tpusr.models.skip import SkipNet, build_dip_net
+from tpusr.ops.resample import Downsampler
+
+
+@dataclasses.dataclass(frozen=True)
+class DIPConfig:
+    """DIP.py main() defaults (DIP.py:169-174, 318-336)."""
+
+    factor: int = 8
+    num_iter: int = 1000
+    learning_rate: float = 0.01
+    reg_noise_std: float = 0.05
+    log_freq: int = 100
+    input_depth: int = 32
+    input_noise_scale: float = 0.1  # 'var' of get_noise (utils/DIP.py:79)
+    pad: str = "reflection"
+    upsample_mode: str = "bilinear"
+    skip_n33d: int = 128
+    skip_n33u: int = 128
+    skip_n11: int = 4
+    num_scales: int = 5
+    dtype: str = "float32"
+
+
+def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
+    net = build_dip_net(
+        input_depth=config.input_depth,
+        pad=config.pad,
+        upsample_mode=config.upsample_mode,
+        skip_n33d=config.skip_n33d,
+        skip_n33u=config.skip_n33u,
+        skip_n11=config.skip_n11,
+        num_scales=config.num_scales,
+    )
+    downsampler = Downsampler(
+        n_planes=3, factor=config.factor, kernel_type="lanczos2",
+        phase=0.5, preserve_size=True)  # DIP.py:29
+    return net, downsampler
+
+
+@partial(jax.jit, static_argnames=("config", "lpips_fn"))
+def dip_superresolve(
+    lr_image: jnp.ndarray,
+    hr_image: jnp.ndarray,
+    key: jax.Array,
+    config: DIPConfig,
+    lpips_fn: Callable | None = None,
+):
+    """Super-resolve one image with DIP.
+
+    Args:
+      lr_image: (1, h, w, 3) float [0,1]
+      hr_image: (1, H, W, 3) float [0,1] with H = factor*h (ground truth,
+        used only for the metric curves, exactly like the reference)
+      key: PRNG key — controls net init, input noise, and reg noise
+      config: static hyperparameters
+      lpips_fn: optional jittable LPIPS callable; curves carry NaN when None
+
+    Returns:
+      resolved: (1, H, W, 3) final HR estimate
+      curves: dict of 'psnr'/'ssim'/'lpips' arrays of length num_iter//log_freq
+    """
+    net, downsampler = _build(config)
+    h, w = hr_image.shape[1], hr_image.shape[2]
+
+    k_init, k_input, k_reg = jax.random.split(key, 3)
+    z = (
+        jax.random.uniform(k_input, (1, h, w, config.input_depth), jnp.float32)
+        * config.input_noise_scale
+    )
+
+    variables = net.init(k_init, z)
+    params, stats = variables["params"], variables["batch_stats"]
+
+    tx = optax.adam(config.learning_rate)  # torch Adam defaults == optax
+    opt_state = tx.init(params)
+
+    def loss_fn(p, st, z_iter):
+        out_hr, updates = net.apply(
+            {"params": p, "batch_stats": st}, z_iter, True,
+            mutable=["batch_stats"])
+        out_lr = downsampler(out_hr)
+        loss = jnp.mean((out_lr - lr_image) ** 2)
+        return loss, (out_hr, updates["batch_stats"])
+
+    def adam_iter(carry, k):
+        p, st, opt = carry
+        noise = jax.random.normal(k, z.shape, z.dtype)
+        z_iter = z + noise * config.reg_noise_std
+        (loss, (_, st)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, st, z_iter)
+        updates, opt = tx.update(grads, opt, p)
+        p = optax.apply_updates(p, updates)
+        return (p, st, opt), loss
+
+    def metrics_of(p, st):
+        out_hr, _ = net.apply({"params": p, "batch_stats": st}, z, True,
+                              mutable=["batch_stats"])
+        m_psnr = psnr_fn(out_hr, hr_image)
+        m_ssim = ssim_fn(out_hr, hr_image, data_range=1.0)
+        if lpips_fn is not None:
+            m_lpips = lpips_fn(out_hr, hr_image)
+        else:
+            m_lpips = jnp.asarray(jnp.nan, jnp.float32)
+        return m_psnr, m_ssim, m_lpips
+
+    if config.num_iter >= config.log_freq:
+        n_chunks, chunk_len = config.num_iter // config.log_freq, config.log_freq
+    else:
+        n_chunks, chunk_len = 1, config.num_iter
+    remainder = config.num_iter - n_chunks * chunk_len
+    k_reg, k_rem = jax.random.split(k_reg)
+    reg_keys = jax.random.split(k_reg, (n_chunks, chunk_len))
+
+    def chunk(carry, keys):
+        p, st, opt = carry
+        # metrics at the chunk head == reference's iter % log_freq == 0 points
+        m = metrics_of(p, st)
+        (p, st, opt), losses = jax.lax.scan(adam_iter, (p, st, opt), keys)
+        return (p, st, opt), (m, losses[-1])
+
+    (params, stats, opt_state), ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
+        chunk, (params, stats, opt_state), reg_keys)
+    if remainder > 0:
+        (params, stats, opt_state), _ = jax.lax.scan(
+            adam_iter, (params, stats, opt_state),
+            jax.random.split(k_rem, remainder))
+
+    resolved, _ = net.apply({"params": params, "batch_stats": stats}, z, True,
+                            mutable=["batch_stats"])
+    curves = {"psnr": psnrs, "ssim": ssims, "lpips": lpipss, "loss": losses}
+    return resolved, curves

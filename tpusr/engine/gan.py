@@ -1,0 +1,178 @@
+"""SRGAN training / evaluation engine — jitted alternating D/G steps.
+
+Capability parity with ``GAN_ISR_train`` / ``do_epoch`` (train_GAN.py:22-136)
+and ``GAN_ISR_Batch_eval`` (eval_GAN.py:21-69), re-designed for TPU:
+
+  * One jitted ``gan_train_step`` performs the full D update + G update —
+    no per-op launches, no host round-trips inside a step.
+  * Both discriminator applications (real batch, fake batch) keep the
+    reference's *separate* batch-norm statistics per call ordering.
+  * The reference's G update feeds the adversarial term a DETACHED generator
+    output (train_GAN.py:58), so no adversarial gradient ever reaches G —
+    a documented reference bug. Default here is the intended SRGAN loss
+    (gradient flows); ``legacy_detach=True`` reproduces the reference
+    behavior for parity runs (SURVEY.md §7 build-order note 6).
+  * Optimizers: fresh Adam per phase (train_GAN.py:35-36) — callers create a
+    new state per phase via ``create_gan_state``/``reset_optimizers``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from tpusr.engine import losses as L
+from tpusr.models.srgan import Discriminator, Generator
+
+
+@dataclasses.dataclass(frozen=True)
+class GANTrainConfig:
+    """train_GAN.py defaults (:216-219, :169, :270)."""
+
+    factor: int = 8
+    batch_size: int = 8
+    hr_patch: int = 192
+    pre_train_epochs: int = 8000
+    fine_tune_epochs: int = 4000
+    pre_train_lr: float = 1e-4
+    fine_tune_lr: float = 1e-5
+    residual_blocks_count: int = 16
+    legacy_detach: bool = False  # reproduce train_GAN.py:58 exactly
+    content: str = "auto"  # 'auto' | 'vgg' | 'mse'
+
+
+class GANTrainState(struct.PyTreeNode):
+    params_G: Any
+    stats_G: Any
+    params_D: Any
+    stats_D: Any
+    opt_G: Any
+    opt_D: Any
+    step: jnp.ndarray
+
+
+def _models(config: GANTrainConfig) -> tuple[Generator, Discriminator]:
+    return (
+        Generator(factor=config.factor,
+                  residual_blocks_count=config.residual_blocks_count),
+        Discriminator(),
+    )
+
+
+def create_gan_state(
+    key: jax.Array,
+    config: GANTrainConfig,
+    learning_rate: float,
+    params_G=None,
+    stats_G=None,
+    params_D=None,
+    stats_D=None,
+) -> GANTrainState:
+    """Init models (or adopt given params) with fresh Adam optimizers."""
+    g, d = _models(config)
+    kg, kd = jax.random.split(key)
+    lr_patch = config.hr_patch // config.factor
+    if params_G is None:
+        vg = g.init(kg, jnp.zeros((1, lr_patch, lr_patch, 3)))
+        params_G, stats_G = vg["params"], vg["batch_stats"]
+    if params_D is None:
+        vd = d.init(kd, jnp.zeros((1, config.hr_patch, config.hr_patch, 3)))
+        params_D, stats_D = vd["params"], vd["batch_stats"]
+    tx = optax.adam(learning_rate)
+    return GANTrainState(
+        params_G=params_G, stats_G=stats_G,
+        params_D=params_D, stats_D=stats_D,
+        opt_G=tx.init(params_G), opt_D=tx.init(params_D),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnames=("config", "learning_rate", "content_loss"))
+def gan_train_step(
+    state: GANTrainState,
+    lr_patches: jnp.ndarray,
+    hr_patches: jnp.ndarray,
+    config: GANTrainConfig,
+    learning_rate: float,
+    content_loss: Callable = L.mse,
+):
+    """One adversarial step (do_epoch parity, train_GAN.py:38-71).
+
+    lr_patches: (B, p, p, 3) in [0,1]; hr_patches: (B, P, P, 3) in [-1,1].
+    Returns (new_state, {'loss_D', 'loss_G'}).
+    """
+    g, d = _models(config)
+    tx = optax.adam(learning_rate)
+
+    def g_apply(p, st, x, train=True):
+        out, upd = g.apply({"params": p, "batch_stats": st}, x, train,
+                           mutable=["batch_stats"])
+        return out, upd["batch_stats"]
+
+    def d_apply(p, st, x, train=True):
+        out, upd = d.apply({"params": p, "batch_stats": st}, x, train,
+                           mutable=["batch_stats"])
+        return out, upd["batch_stats"]
+
+    # --- Discriminator update (train_GAN.py:43-53) ---
+    fake, stats_G = g_apply(state.params_G, state.stats_G, lr_patches)
+    fake = jax.lax.stop_gradient(fake)
+
+    def loss_D_fn(pd):
+        real_logits, st1 = d_apply(pd, state.stats_D, hr_patches)
+        fake_logits, st2 = d_apply(pd, st1, fake)
+        return L.discriminator_loss(real_logits, fake_logits), st2
+
+    (loss_D, stats_D), grads_D = jax.value_and_grad(loss_D_fn, has_aux=True)(
+        state.params_D)
+    upd_D, opt_D = tx.update(grads_D, state.opt_D, state.params_D)
+    params_D = optax.apply_updates(state.params_D, upd_D)
+
+    # --- Generator update (train_GAN.py:55-64) ---
+    def loss_G_fn(pg):
+        fake_g, st_g = g_apply(pg, stats_G, lr_patches)
+        adv_input = jax.lax.stop_gradient(fake_g) if config.legacy_detach else fake_g
+        # D runs in train mode on the fake batch but its stats are not
+        # persisted here (the reference's third D stat update is dropped —
+        # the D optimizer has already consumed this step's statistics).
+        fake_logits, _ = d_apply(params_D, stats_D, adv_input)
+        loss = L.perceptual_loss(content_loss, fake_g, hr_patches, fake_logits)
+        return loss, st_g
+
+    (loss_G, stats_G), grads_G = jax.value_and_grad(loss_G_fn, has_aux=True)(
+        state.params_G)
+    upd_G, opt_G = tx.update(grads_G, state.opt_G, state.params_G)
+    params_G = optax.apply_updates(state.params_G, upd_G)
+
+    new_state = GANTrainState(
+        params_G=params_G, stats_G=stats_G,
+        params_D=params_D, stats_D=stats_D,
+        opt_G=opt_G, opt_D=opt_D,
+        step=state.step + 1,
+    )
+    return new_state, {"loss_D": loss_D, "loss_G": loss_G}
+
+
+@partial(jax.jit, static_argnames=("config", "train"))
+def generator_forward(
+    params_G, stats_G, lr_images: jnp.ndarray, config: GANTrainConfig,
+    train: bool = False,
+):
+    """Full-image generator inference (eval_GAN.py:44).
+
+    ``train=False`` uses running BN statistics (the reference calls
+    gan_G.eval() at eval_GAN.py:94).
+    """
+    g, _ = _models(config)
+    if train:
+        out, _ = g.apply({"params": params_G, "batch_stats": stats_G},
+                         lr_images, True, mutable=["batch_stats"])
+        return out
+    return g.apply({"params": params_G, "batch_stats": stats_G},
+                   lr_images, False)

@@ -1,0 +1,209 @@
+"""Checkpointing: orbax-backed native checkpoints + torch .pth interop.
+
+Reference behavior being matched:
+  * ``save_model`` writes a state_dict .pth after each GAN phase
+    (utils/common.py:11-18, train_GAN.py:186-188,205).
+  * ``load_model`` reads a .pth, stripping DDP 'module.' prefixes
+    (utils/common.py:46-60, eval_GAN.py:85).
+  * Optimizer state is never saved in the reference; our native checkpoints
+    DO carry {params, batch_stats, opt_state, step} so training is
+    crash-resumable (SURVEY.md §5 checkpoint/resume).
+
+.pth interop keeps the reference's tensor naming so checkpoints flow both
+ways: a torch-trained SRGAN generator evaluates under tpusr, and a
+tpusr-trained generator exports to a .pth loadable by the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+# ---------------------------------------------------------------------------
+# Native checkpoints (orbax)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, tree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str, target: Any | None = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    if target is None:
+        return ckptr.restore(path)
+    return ckptr.restore(path, target=target)
+
+
+# ---------------------------------------------------------------------------
+# torch .pth interop
+# ---------------------------------------------------------------------------
+
+def _strip_ddp(sd: dict) -> dict:
+    """'module.' prefix strip — load_model parity (utils/common.py:50-56)."""
+    pattern = re.compile(r"^module\.")
+    return {pattern.sub("", k): v for k, v in sd.items()}
+
+
+def load_torch_state_dict(path: str) -> dict:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: np.asarray(v) for k, v in _strip_ddp(sd).items()}
+
+
+def _conv_in(sd, key):
+    return {
+        "kernel": jnp.asarray(sd[f"{key}.weight"].transpose(2, 3, 1, 0)),
+        "bias": jnp.asarray(sd[f"{key}.bias"]),
+    }
+
+
+def _bn_in(sd, key):
+    params = {"scale": jnp.asarray(sd[f"{key}.weight"]),
+              "bias": jnp.asarray(sd[f"{key}.bias"])}
+    stats = {"mean": jnp.asarray(sd[f"{key}.running_mean"]),
+             "var": jnp.asarray(sd[f"{key}.running_var"])}
+    return params, stats
+
+
+def import_torch_generator(sd: dict, residual_blocks_count: int = 16,
+                           n_shuffles: int = 3):
+    """Reference Generator state_dict -> (params, batch_stats).
+
+    Key layout per models/GAN/generator.py: conv1, prelu1,
+    residual_blocks.{i}.{conv1,bn1,prelu1,conv2,bn2}, conv2, bn1,
+    pixel_shuffle_blocks.{i}.{conv1,prelu1}, conv3.
+    """
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    params["conv1"] = {"Conv_0": _conv_in(sd, "conv1")}
+    params["prelu1"] = {"alpha": jnp.asarray(sd["prelu1.weight"])}
+
+    for i in range(residual_blocks_count):
+        base = f"residual_blocks.{i}"
+        bn1_p, bn1_s = _bn_in(sd, f"{base}.bn1")
+        bn2_p, bn2_s = _bn_in(sd, f"{base}.bn2")
+        params[f"res{i}"] = {
+            "conv1": {"Conv_0": _conv_in(sd, f"{base}.conv1")},
+            "bn1": bn1_p,
+            "prelu1": {"alpha": jnp.asarray(sd[f"{base}.prelu1.weight"])},
+            "conv2": {"Conv_0": _conv_in(sd, f"{base}.conv2")},
+            "bn2": bn2_p,
+        }
+        stats[f"res{i}"] = {"bn1": bn1_s, "bn2": bn2_s}
+
+    params["conv2"] = {"Conv_0": _conv_in(sd, "conv2")}
+    bn_p, bn_s = _bn_in(sd, "bn1")
+    params["bn1"] = bn_p
+    stats["bn1"] = bn_s
+
+    for i in range(n_shuffles):
+        base = f"pixel_shuffle_blocks.{i}"
+        params[f"ps{i}"] = {
+            "conv1": {"Conv_0": _conv_in(sd, f"{base}.conv1")},
+            "prelu1": {"alpha": jnp.asarray(sd[f"{base}.prelu1.weight"])},
+        }
+
+    params["conv3"] = {"Conv_0": _conv_in(sd, "conv3")}
+    return params, stats
+
+
+def import_torch_discriminator(sd: dict, hr_patch: int = 192):
+    """Reference Discriminator state_dict -> (params, batch_stats).
+
+    dense1's input ordering differs: torch flattens NCHW (C-major), we
+    flatten NHWC — the weight rows are permuted accordingly
+    (discriminator.py:54 vs srgan.py Discriminator).
+    """
+    params: dict[str, Any] = {"conv": {"Conv_0": _conv_in(sd, "conv")}}
+    stats: dict[str, Any] = {}
+    for i in range(7):
+        base = f"convblocks.{i}"
+        bn_p, bn_s = _bn_in(sd, f"{base}.bn1")
+        params[f"block{i}_conv"] = {"Conv_0": _conv_in(sd, f"{base}.conv1")}
+        params[f"block{i}_bn"] = bn_p
+        stats[f"block{i}_bn"] = bn_s
+
+    h = w = hr_patch // 16  # stem s1 + strides 2,1,2,1,2,1,2
+    c = 512
+    w1 = sd["dense1.weight"]  # (1024, C*H*W) in C,H,W order
+    w1 = w1.reshape(1024, c, h, w).transpose(0, 2, 3, 1).reshape(1024, h * w * c)
+    params["dense1"] = {
+        "Dense_0": {"kernel": jnp.asarray(w1.T), "bias": jnp.asarray(sd["dense1.bias"])}
+    }
+    params["dense2"] = {
+        "Dense_0": {"kernel": jnp.asarray(sd["dense2.weight"].T),
+                    "bias": jnp.asarray(sd["dense2.bias"])}
+    }
+    return params, stats
+
+
+def _conv_out(tree) -> dict:
+    return {
+        "weight": np.asarray(tree["kernel"]).transpose(3, 2, 0, 1),
+        "bias": np.asarray(tree["bias"]),
+    }
+
+
+def export_torch_generator(params: dict, stats: dict,
+                           residual_blocks_count: int = 16,
+                           n_shuffles: int = 3) -> dict:
+    """(params, batch_stats) -> reference-named numpy state_dict.
+
+    Pass through ``torch.save({k: torch.from_numpy(v), ...})`` for a .pth the
+    reference's load_model accepts.
+    """
+    sd: dict[str, np.ndarray] = {}
+
+    def put_conv(tkey, tree):
+        c = _conv_out(tree["Conv_0"])
+        sd[f"{tkey}.weight"] = c["weight"]
+        sd[f"{tkey}.bias"] = c["bias"]
+
+    def put_bn(tkey, p, s):
+        sd[f"{tkey}.weight"] = np.asarray(p["scale"])
+        sd[f"{tkey}.bias"] = np.asarray(p["bias"])
+        sd[f"{tkey}.running_mean"] = np.asarray(s["mean"])
+        sd[f"{tkey}.running_var"] = np.asarray(s["var"])
+        sd[f"{tkey}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+    put_conv("conv1", params["conv1"])
+    sd["prelu1.weight"] = np.asarray(params["prelu1"]["alpha"])
+    for i in range(residual_blocks_count):
+        base = f"residual_blocks.{i}"
+        put_conv(f"{base}.conv1", params[f"res{i}"]["conv1"])
+        put_bn(f"{base}.bn1", params[f"res{i}"]["bn1"], stats[f"res{i}"]["bn1"])
+        sd[f"{base}.prelu1.weight"] = np.asarray(params[f"res{i}"]["prelu1"]["alpha"])
+        put_conv(f"{base}.conv2", params[f"res{i}"]["conv2"])
+        put_bn(f"{base}.bn2", params[f"res{i}"]["bn2"], stats[f"res{i}"]["bn2"])
+    put_conv("conv2", params["conv2"])
+    put_bn("bn1", params["bn1"], stats["bn1"])
+    for i in range(n_shuffles):
+        base = f"pixel_shuffle_blocks.{i}"
+        put_conv(f"{base}.conv1", params[f"ps{i}"]["conv1"])
+        sd[f"{base}.prelu1.weight"] = np.asarray(params[f"ps{i}"]["prelu1"]["alpha"])
+    put_conv("conv3", params["conv3"])
+    return sd
+
+
+def save_torch_pth(sd: dict, path: str) -> None:
+    import torch
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
+    print(f"Model saved to {path}")
