@@ -1,0 +1,185 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.json): DIP seconds/image at 1000 Adam iterations on
+the reference workload shape, on one chip. ``vs_baseline`` is the speedup over
+an independently implemented torch-CPU DIP step loop (the reference's own
+stack is torch-CPU here; torchmetrics/torchvision are absent so the reference
+scripts themselves cannot run — the torch baseline reproduces its per-iteration
+compute: skip-net forward, Lanczos downsample, MSE, backward, Adam step).
+
+Extra metrics (recorded inside the JSON payload under "extra"):
+  * gan_eval megapixels/sec/chip (x8 full-image generator inference)
+  * dip it/s on-chip
+
+Run: python bench.py [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+# Keep the benchmark honest: fixed shapes close to the reference workload.
+# DIV2K HR after the mandatory /2 is ~1020x678; DIP optimizes at HR size.
+DIP_H, DIP_W = 512, 512          # HR optimization canvas (pad-free square)
+DIP_FACTOR = 8
+DIP_ITERS = 1000
+TORCH_BASELINE_ITERS = 5          # extrapolated; torch-CPU is ~seconds/iter
+
+
+def bench_dip_tpu(num_iter: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    from tpusr.engine.dip import DIPConfig, dip_superresolve
+
+    config = DIPConfig(factor=DIP_FACTOR, num_iter=num_iter,
+                       log_freq=max(num_iter // 10, 1))
+    rng = np.random.default_rng(0)
+    hr = jnp.asarray(rng.random((1, DIP_H, DIP_W, 3)), jnp.float32)
+    lr = jnp.asarray(
+        rng.random((1, DIP_H // DIP_FACTOR, DIP_W // DIP_FACTOR, 3)), jnp.float32)
+
+    # compile (not timed)
+    resolved, _ = dip_superresolve(lr, hr, jax.random.key(0), config)
+    resolved.block_until_ready()
+
+    t0 = time.perf_counter()
+    resolved, _ = dip_superresolve(lr, hr, jax.random.key(1), config)
+    resolved.block_until_ready()
+    return time.perf_counter() - t0
+
+
+def bench_dip_torch_cpu(num_iter: int) -> float:
+    """Torch-CPU DIP iteration cost, independently implemented.
+
+    Architecture/workload identical to the reference defaults: 5-scale skip
+    net (128/128/4), 32-ch noise input at HR size, lanczos2 downsampler,
+    MSE, Adam. Measured over a few iterations, reported per-iteration.
+    """
+    import torch
+    import torch.nn as nn
+
+    from tpusr.ops.resample import get_kernel
+
+    torch.set_num_threads(max(torch.get_num_threads(), 1))
+
+    def conv_block(cin, cout, k, stride=1):
+        p = (k - 1) // 2
+        return [nn.ReflectionPad2d(p), nn.Conv2d(cin, cout, k, stride),
+                nn.BatchNorm2d(cout), nn.LeakyReLU(0.2)]
+
+    class Level(nn.Module):
+        def __init__(self, cin, inner):
+            super().__init__()
+            self.skip = nn.Sequential(nn.Conv2d(cin, 4, 1), nn.BatchNorm2d(4),
+                                      nn.LeakyReLU(0.2))
+            self.down = nn.Sequential(*conv_block(cin, 128, 3, 2),
+                                      *conv_block(128, 128, 3))
+            self.inner = inner
+            self.post = nn.Sequential(
+                nn.BatchNorm2d(132), *conv_block(132, 128, 3),
+                nn.Conv2d(128, 128, 1), nn.BatchNorm2d(128), nn.LeakyReLU(0.2))
+
+        def forward(self, x):
+            s = self.skip(x)
+            d = self.down(x)
+            if self.inner is not None:
+                d = self.inner(d)
+            d = nn.functional.interpolate(d, scale_factor=2, mode="bilinear")
+            return self.post(torch.cat([s, d[:, :, :s.shape[2], :s.shape[3]]], 1))
+
+    inner = None
+    for i in range(5):
+        inner = Level(32 if i == 4 else 128, inner)
+    net = nn.Sequential(inner, nn.Conv2d(128, 3, 1), nn.Sigmoid())
+
+    k2d = get_kernel(DIP_FACTOR, "lanczos", 0.5, 4 * DIP_FACTOR + 1, support=2)
+    kt = torch.from_numpy(k2d).float()
+    dw = torch.zeros(3, 1, *k2d.shape)
+    for i in range(3):
+        dw[i, 0] = kt
+    pad = (k2d.shape[0] - DIP_FACTOR) // 2
+
+    z = torch.rand(1, 32, DIP_H, DIP_W) * 0.1
+    lr_t = torch.rand(1, 3, DIP_H // DIP_FACTOR, DIP_W // DIP_FACTOR)
+    opt = torch.optim.Adam(net.parameters(), lr=0.01)
+    mse = nn.MSELoss()
+
+    def step():
+        opt.zero_grad()
+        out = net(z + torch.randn_like(z) * 0.05)
+        padded = nn.functional.pad(out, (pad, pad, pad, pad), mode="replicate")
+        out_lr = nn.functional.conv2d(padded, dw, stride=DIP_FACTOR, groups=3)
+        loss = mse(out_lr, lr_t)
+        loss.backward()
+        opt.step()
+
+    step()  # warm-up
+    t0 = time.perf_counter()
+    for _ in range(num_iter):
+        step()
+    return time.perf_counter() - t0
+
+
+def bench_gan_eval_mpix() -> float:
+    """x8 generator full-image inference throughput, megapixels(HR)/sec/chip."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpusr.engine.gan import GANTrainConfig, create_gan_state, generator_forward
+
+    config = GANTrainConfig(factor=8)
+    state = create_gan_state(jax.random.key(0), config, 1e-4)
+    lr = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3)), jnp.float32)
+
+    out = generator_forward(state.params_G, state.stats_G, lr, config, train=False)
+    out.block_until_ready()
+    reps = 10
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = generator_forward(state.params_G, state.stats_G, lr, config,
+                                train=False)
+    out.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    mpix = (128 * 8) * (128 * 8) / 1e6
+    return mpix / dt
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="reduced iteration counts (CI smoke)")
+    args = parser.parse_args()
+
+    dip_iters = 100 if args.quick else DIP_ITERS
+    base_iters = 2 if args.quick else TORCH_BASELINE_ITERS
+
+    tpu_time = bench_dip_tpu(dip_iters)
+    tpu_sec_per_image_1k = tpu_time * (DIP_ITERS / dip_iters)
+
+    torch_time = bench_dip_torch_cpu(base_iters)
+    torch_sec_per_image_1k = torch_time / base_iters * DIP_ITERS
+
+    gan_mpix = bench_gan_eval_mpix()
+
+    result = {
+        "metric": "dip_sec_per_image_1k_iters",
+        "value": round(tpu_sec_per_image_1k, 3),
+        "unit": "seconds",
+        "vs_baseline": round(torch_sec_per_image_1k / tpu_sec_per_image_1k, 2),
+        "extra": {
+            "dip_hr_shape": [DIP_H, DIP_W],
+            "dip_iters_measured": dip_iters,
+            "torch_cpu_sec_per_image_1k_iters": round(torch_sec_per_image_1k, 1),
+            "gan_x8_eval_megapixels_per_sec_per_chip": round(gan_mpix, 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,120 @@
+"""Distributed-layer tests on the 8-virtual-device CPU mesh (SURVEY.md §4).
+
+- tiled inference must equal the monolithic full-image forward EXACTLY
+- shard_map + ppermute halo inference must equal it in the interior
+- data-parallel GAN step must match the single-device step on the same
+  global batch
+- sharded batched DIP must match unsharded batched DIP
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpusr.engine.dip import DIPConfig, dip_superresolve_batch
+from tpusr.engine.gan import (
+    GANTrainConfig,
+    create_gan_state,
+    gan_train_step,
+    generator_forward,
+)
+from tpusr.parallel.dip_batch import dip_superresolve_sharded
+from tpusr.parallel.gan_dp import make_dp_train_step
+from tpusr.parallel.mesh import make_mesh
+from tpusr.parallel.spatial import sharded_generator_forward, tiled_generator_forward
+
+CFG = GANTrainConfig(factor=4, residual_blocks_count=2)
+
+
+@pytest.fixture(scope="module")
+def gen_state():
+    return create_gan_state(jax.random.key(0), GANTrainConfig(
+        factor=4, residual_blocks_count=2, hr_patch=32), 1e-4)
+
+
+def _image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((1, h, w, 3)), jnp.float32)
+
+
+def test_tiled_forward_exact(gen_state):
+    x = _image(64, 24)
+    full = generator_forward(gen_state.params_G, gen_state.stats_G, x, CFG,
+                             train=False)
+    tiled = tiled_generator_forward(gen_state.params_G, gen_state.stats_G, x,
+                                    CFG, n_tiles=4, halo=16)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_tiled_forward_uneven_height(gen_state):
+    x = _image(50, 16)
+    full = generator_forward(gen_state.params_G, gen_state.stats_G, x, CFG,
+                             train=False)
+    tiled = tiled_generator_forward(gen_state.params_G, gen_state.stats_G, x,
+                                    CFG, n_tiles=3, halo=16)
+    assert tiled.shape == full.shape
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_halo_forward_interior_exact(gen_state):
+    mesh = make_mesh({"spatial": 4})
+    x = _image(64, 16, seed=1)
+    full = generator_forward(gen_state.params_G, gen_state.stats_G, x, CFG,
+                             train=False)
+    sharded = sharded_generator_forward(
+        gen_state.params_G, gen_state.stats_G, x, CFG, mesh=mesh, halo=12)
+    assert sharded.shape == full.shape
+    f = CFG.factor
+    # interior (away from the true top/bottom edge by halo*f) is exact
+    got = np.asarray(sharded)[:, 12 * f:-12 * f]
+    want = np.asarray(full)[:, 12 * f:-12 * f]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
+def test_dp_gan_step_matches_single_device():
+    cfg = GANTrainConfig(factor=4, batch_size=8, hr_patch=32,
+                         residual_blocks_count=2)
+    state = create_gan_state(jax.random.key(1), cfg, 1e-4)
+    rng = np.random.default_rng(0)
+    lr_b = jnp.asarray(rng.random((8, 8, 8, 3)), jnp.float32)
+    hr_b = jnp.asarray(rng.random((8, 32, 32, 3)) * 2 - 1, jnp.float32)
+
+    ref_state, ref_logs = gan_train_step(state, lr_b, hr_b, cfg, 1e-4)
+
+    mesh = make_mesh({"data": 8})
+    place, step = make_dp_train_step(mesh, cfg, 1e-4)
+    dp_state, dp_logs = step(place(state), lr_b, hr_b)
+
+    assert abs(float(dp_logs["loss_D"]) - float(ref_logs["loss_D"])) < 1e-4
+    assert abs(float(dp_logs["loss_G"]) - float(ref_logs["loss_G"])) < 1e-4
+    # Adam's rsqrt amplifies reduction-order float noise on the first step,
+    # so a loose-but-bounded tolerance is expected here.
+    for a, b in zip(jax.tree.leaves(ref_state.params_G),
+                    jax.tree.leaves(dp_state.params_G)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
+
+
+TINY_DIP = DIPConfig(factor=2, num_iter=8, log_freq=4, input_depth=4,
+                     skip_n33d=8, skip_n33u=8, skip_n11=2, num_scales=2)
+
+
+def test_sharded_dip_matches_unsharded():
+    rng = np.random.default_rng(2)
+    n = 8
+    hr = jnp.asarray(rng.random((n, 1, 16, 16, 3)), jnp.float32)
+    lr = jnp.asarray(rng.random((n, 1, 8, 8, 3)), jnp.float32)
+    keys = jax.random.split(jax.random.key(0), n)
+
+    res_ref, curves_ref = dip_superresolve_batch(lr, hr, keys, TINY_DIP)
+
+    mesh = make_mesh({"data": 8})
+    res_sh, curves_sh = dip_superresolve_sharded(lr, hr, keys, TINY_DIP, mesh)
+
+    assert res_sh.shape == (n, 1, 16, 16, 3)
+    np.testing.assert_allclose(np.asarray(res_sh), np.asarray(res_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(curves_sh["psnr"]),
+                               np.asarray(curves_ref["psnr"]), atol=1e-3)

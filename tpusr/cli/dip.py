@@ -1,0 +1,157 @@
+"""DIP super-resolution CLI — entry-point parity with the reference DIP.py.
+
+Usage (flags mirror DIP.py:236-248):
+    python -m tpusr.cli.dip --data_dir D --out_dir O --num_iter 1000 \
+        [--train_log_freq 100] [--save_output True] [--num_images 1] \
+        [--noise_type gauss --noise_param 0.05] [--downsample True]
+
+Differences from the reference, all documented in SURVEY.md §7:
+  * the whole optimization runs as one jitted program per image;
+  * boolean flags parse their value;
+  * LPIPS logs NaN unless $TPUSR_LPIPS_WEIGHTS points at converted weights.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+from tpusr.cli.common import check_num_images, str2bool, timestamp, validate_noise
+from tpusr.data.div2k import DIV2KDataset
+from tpusr.engine.dip import DIPConfig, dip_superresolve
+from tpusr.engine.metrics import psnr as psnr_fn
+from tpusr.engine.metrics import ssim as ssim_fn
+from tpusr.io.images import save_image, to_uint8
+from tpusr.io.logs import save_log
+from tpusr.models.lpips import make_lpips
+from tpusr.utils.convert import np_to_device
+
+
+def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
+         save_output, noise_type, downsample, seed=0):
+    dataset = DIV2KDataset(LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,
+                           num_images=num_images, noise_type=noise_type,
+                           downsample=downsample, seed=seed)
+    n = len(dataset)
+    print(f"Performing DIP SISR on {n} images.")
+    print(f"Output directory: {out_dir}")
+
+    lpips_fn = make_lpips()
+
+    running = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0}
+    n_points = config.num_iter // config.log_freq
+    curves = {
+        "Average PSNR per epoch": np.zeros(n_points),
+        "Average SSIM per epoch": np.zeros(n_points),
+        "Average LPIPS per epoch": np.zeros(n_points),
+    }
+
+    key = jax.random.key(seed)
+    start_time = time.time()
+
+    for idx, (lr_img, hr_img, name) in enumerate(dataset):
+        print(f"Starting on {name} (image {idx + 1}/{n}) "
+              f"for {config.num_iter} iterations.")
+        key, k_img = jax.random.split(key)
+        lr_dev = np_to_device(lr_img)
+        hr_dev = np_to_device(hr_img)
+
+        t0 = time.time()
+        resolved, image_curves = dip_superresolve(lr_dev, hr_dev, k_img,
+                                                  config, lpips_fn)
+        resolved.block_until_ready()
+        print(f"Image runtime: {time.time() - t0:.2f}s")
+
+        running["psnr"] += float(psnr_fn(resolved, hr_dev))
+        running["ssim"] += float(ssim_fn(resolved, hr_dev, data_range=1.0))
+        running["lpips"] += (float(lpips_fn(resolved, hr_dev))
+                             if lpips_fn else float("nan"))
+
+        curves["Average PSNR per epoch"] += np.asarray(image_curves["psnr"])
+        curves["Average SSIM per epoch"] += np.asarray(image_curves["ssim"])
+        curves["Average LPIPS per epoch"] += np.asarray(image_curves["lpips"])
+
+        for i, (p, s) in enumerate(zip(np.asarray(image_curves["psnr"]),
+                                       np.asarray(image_curves["ssim"]))):
+            print(f"Iteration {i * config.log_freq + 1}/{config.num_iter}: "
+                  f"PSNR: {p:.4f} SSIM: {s:.4f}")
+
+        if save_output:
+            print("Done.")
+            save_image(to_uint8(np.asarray(resolved)), f"{name}_resolved", out_dir)
+            save_image(to_uint8(lr_img), f"{name}_LR", out_dir)
+            save_image(to_uint8(hr_img), f"{name}_HR", out_dir)
+
+    print(f"Done for all {n} images.")
+
+    metrics = dict(curves)
+    metrics["runtime"] = time.time() - start_time
+    metrics["Average final PSNR"] = running["psnr"] / n
+    metrics["Average final SSIM"] = running["ssim"] / n
+    metrics["Average final LPIPS"] = running["lpips"] / n
+    metrics["Number of images evaluated over"] = n
+    for k in curves:
+        metrics[k] = metrics[k] / n
+
+    if noise_type is None:
+        save_log(out_dir, **metrics)
+    else:
+        save_log(out_dir, **metrics, **noise_type)
+    return metrics
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="TPU-native DIP super-resolution")
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--out_dir", type=str, required=True)
+    parser.add_argument("--num_iter", type=int, default=1)
+    parser.add_argument("--train_log_freq", type=int, default=100)
+    parser.add_argument("--save_output", type=str2bool, default=False)
+    parser.add_argument("--num_images", type=int, default=1)
+    parser.add_argument("--noise_type", type=str)
+    parser.add_argument("--noise_param", type=float)
+    parser.add_argument("--downsample", type=str2bool, default=False)
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def run(argv=None):
+    args = build_parser().parse_args(argv)
+
+    if not os.path.isdir(args.out_dir):
+        print(f"{args.out_dir} not found.")
+        sys.exit(1)
+
+    LR_dir = os.path.join(args.data_dir, "DIV2K_train_LR_x8/")
+    HR_dir = os.path.join(args.data_dir, "DIV2K_train_HR/")
+    check_num_images(args.num_images)
+
+    factor = 8  # DIP.py:271
+    if args.downsample:
+        factor *= 2
+
+    out_dir = os.path.join(args.out_dir, f"out/DIPx{factor}/{timestamp()}")
+    noise_type = validate_noise(args)
+    if noise_type:
+        param = noise_type.get("std", noise_type.get("s"))
+        out_dir = os.path.join(out_dir, f"{noise_type['type']}/{param}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    config = DIPConfig(
+        factor=factor,
+        num_iter=args.num_iter,
+        learning_rate=0.01,                       # DIP.py:318
+        reg_noise_std=0.07 if args.downsample else 0.05,  # DIP.py:320-323
+        log_freq=args.train_log_freq,
+    )
+    main(LR_dir, HR_dir, out_dir, factor, args.num_images, config,
+         args.save_output, noise_type, args.downsample, args.seed)
+
+
+if __name__ == "__main__":
+    run()

@@ -1,0 +1,152 @@
+"""SRGAN evaluation CLI — entry-point parity with the reference eval_GAN.py.
+
+Loads a generator checkpoint (reference-named torch .pth via the importer,
+or a tpusr orbax state dir), runs full-image inference at batch 1
+(eval_GAN.py:88 "images can be very large"), accumulates PSNR/SSIM/LPIPS,
+saves resolved PNGs and the metrics log.
+
+Documented fixes vs the reference (SURVEY.md §7 catalog): metric averages
+divide by the number of images actually evaluated (not the raw --num_images
+which may be -1, eval_GAN.py:64-66); --factor is an int (not bool,
+eval_GAN.py:132); the positional-argument swap of eval_GAN.py:203-210 has no
+analog here; tanh output is mapped [-1,1]->[0,255] before the PNG cast.
+
+HR images arrive in [-1,1] (GAN dataset scaling) and metrics are computed in
+that domain with torchmetrics' conventions, exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+from tpusr.cli.common import check_num_images, require_dir, str2bool, timestamp, validate_noise
+from tpusr.data.div2k import GANDIV2KDataset
+from tpusr.engine.gan import GANTrainConfig, generator_forward
+from tpusr.engine.metrics import psnr as psnr_fn
+from tpusr.engine.metrics import ssim as ssim_fn
+from tpusr.io.checkpoint import import_torch_generator, load_checkpoint, load_torch_state_dict
+from tpusr.io.images import save_image, to_uint8
+from tpusr.io.logs import save_log
+from tpusr.models.lpips import make_lpips
+from tpusr.utils.convert import np_to_device
+
+
+def load_generator(model_path: str, config: GANTrainConfig):
+    """torch .pth (reference naming, DDP prefixes stripped) or orbax dir."""
+    n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[config.factor]
+    if model_path.endswith(".pth"):
+        sd = load_torch_state_dict(model_path)
+        return import_torch_generator(
+            sd, residual_blocks_count=config.residual_blocks_count,
+            n_shuffles=n_shuffles)
+    state = load_checkpoint(model_path)
+    return state["params_G"], state["stats_G"]
+
+
+def evaluate(params_G, stats_G, dataset, out_dir, config: GANTrainConfig,
+             save_images=True, spatial_shards: int = 1):
+    """GAN_ISR_Batch_eval parity (eval_GAN.py:21-69)."""
+    lpips_fn = make_lpips()
+    running = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0}
+    n = 0
+
+    if spatial_shards > 1:
+        from tpusr.parallel.spatial import sharded_generator_forward
+
+    for lr_img, hr_img, name in dataset:
+        print(f"Starting on {name}.")
+        lr_dev = np_to_device(lr_img)
+        hr_dev = np_to_device(hr_img)
+
+        if spatial_shards > 1:
+            resolved = sharded_generator_forward(
+                params_G, stats_G, lr_dev, config, n_shards=spatial_shards)
+        else:
+            resolved = generator_forward(params_G, stats_G, lr_dev, config,
+                                         train=False)
+
+        running["psnr"] += float(psnr_fn(resolved, hr_dev))
+        running["ssim"] += float(ssim_fn(resolved, hr_dev, data_range=1.0))
+        running["lpips"] += (float(lpips_fn(resolved, hr_dev))
+                             if lpips_fn else float("nan"))
+        n += 1
+        print(f"Done evaluating over {name}.")
+
+        if save_images:
+            save_image(to_uint8(np.asarray(resolved), from_range="pm1"),
+                       name, out_dir)
+
+    return {
+        "avg_psnr": running["psnr"] / max(n, 1),
+        "avg_ssim": running["ssim"] / max(n, 1),
+        "avg_lpips": running["lpips"] / max(n, 1),
+    }, n
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="TPU-native SRGAN evaluation")
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--out_dir", type=str, required=True)
+    parser.add_argument("--model_path", type=str, required=True)
+    parser.add_argument("--num_images", type=int, default=-1)
+    parser.add_argument("--save_images", type=str2bool, default=False)
+    parser.add_argument("--noise_type", type=str)
+    parser.add_argument("--noise_param", type=float)
+    parser.add_argument("--factor", type=int, default=8)
+    parser.add_argument("--downsample", type=str2bool, default=False)
+    parser.add_argument("--spatial_shards", type=int, default=1,
+                        help="shard huge images across N devices (halo exchange)")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def run(argv=None):
+    args = build_parser().parse_args(argv)
+    require_dir(args.data_dir)
+    require_dir(args.out_dir)
+    check_num_images(args.num_images)
+
+    LR_dir = os.path.join(args.data_dir, "DIV2K_valid_LR_x8/")
+    HR_dir = os.path.join(args.data_dir, "DIV2K_valid_HR/")
+
+    factor = args.factor
+    if args.downsample:
+        factor *= 2
+
+    out_dir = os.path.join(args.out_dir, f"out/GANx{factor}/{timestamp()}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    noise_type = validate_noise(args)
+
+    print("Starting GAN evaluation..")
+    config = GANTrainConfig(factor=factor)
+    params_G, stats_G = load_generator(args.model_path, config)
+
+    dataset = GANDIV2KDataset(
+        LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,
+        num_images=args.num_images, noise_type=noise_type,
+        downsample=args.downsample, train=False, seed=args.seed)
+
+    start_time = time.time()
+    eval_metrics, n = evaluate(params_G, stats_G, dataset, out_dir, config,
+                               save_images=args.save_images,
+                               spatial_shards=args.spatial_shards)
+    runtime = time.time() - start_time
+
+    print(f"Done evaluating for all {n} images.")
+    eval_metrics["Number of images evaluated over"] = n
+    eval_metrics["Eval runtime"] = time.strftime("%H:%M:%S", time.gmtime(runtime))
+
+    if noise_type is None:
+        save_log(out_dir, **eval_metrics)
+    else:
+        save_log(out_dir, **eval_metrics, **noise_type)
+    return eval_metrics
+
+
+if __name__ == "__main__":
+    run()

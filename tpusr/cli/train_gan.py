@@ -1,0 +1,214 @@
+"""SRGAN training CLI — entry-point parity with the reference train_GAN.py.
+
+Two-phase schedule (train_GAN.py:180-205): pre-train then fine-tune, each
+with a fresh Adam; saves generator/discriminator checkpoints (orbax native +
+reference-named .pth export) and a metrics log after each phase.
+
+Extra over the reference (SURVEY.md §5): --resume restores a full
+{params, opt_state, step} orbax checkpoint, and periodic checkpointing gives
+crash-resume; --legacy_detach reproduces the reference's G-detach bug.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+from tpusr.cli.common import check_num_images, require_dir, str2bool, timestamp
+from tpusr.data.div2k import GANDIV2KDataset, batch_iterator
+from tpusr.engine.gan import (
+    GANTrainConfig,
+    create_gan_state,
+    gan_train_step,
+    generator_forward,
+)
+from tpusr.engine.losses import make_content_loss
+from tpusr.engine.metrics import psnr as psnr_fn
+from tpusr.engine.metrics import ssim as ssim_fn
+from tpusr.io.checkpoint import (
+    export_torch_generator,
+    load_checkpoint,
+    save_checkpoint,
+    save_torch_pth,
+)
+from tpusr.io.logs import save_log
+from tpusr.models.lpips import make_lpips
+from tpusr.models.vgg19 import try_load_vgg19
+
+
+def train_phase(state, dataset, config: GANTrainConfig, lr, num_epoch,
+                train_log_freq, content_loss, lpips_fn, ckpt_dir=None,
+                ckpt_every=0):
+    """GAN_ISR_train parity (train_GAN.py:22-136)."""
+    print("Starting GAN training..")
+    avg_psnrs, avg_ssims, avg_lpipss = [], [], []
+    losses_D, losses_G = [], []
+
+    for epoch in range(num_epoch):
+        start_time = time.time()
+        dataset.set_epoch(epoch)
+        epoch_psnrs, epoch_ssims, epoch_lpipss = [], [], []
+        batches = 0
+
+        for lr_b, hr_b, _ in batch_iterator(dataset, config.batch_size):
+            state, logs = gan_train_step(state, lr_b, hr_b, config, lr,
+                                         content_loss)
+            losses_D.append(float(logs["loss_D"]))
+            losses_G.append(float(logs["loss_G"]))
+            batches += 1
+
+            if epoch % train_log_freq == 0:
+                out = generator_forward(state.params_G, state.stats_G, lr_b,
+                                        config, train=True)
+                epoch_psnrs.append(float(psnr_fn(out, hr_b)))
+                epoch_ssims.append(float(ssim_fn(out, hr_b, data_range=1.0)))
+                epoch_lpipss.append(float(lpips_fn(out, hr_b))
+                                    if lpips_fn else float("nan"))
+
+        if epoch % train_log_freq == 0:
+            avg_psnrs.append(sum(epoch_psnrs) / batches)
+            avg_ssims.append(sum(epoch_ssims) / batches)
+            avg_lpipss.append(sum(epoch_lpipss) / batches)
+            print(f"Epoch {epoch + 1}/{num_epoch}:")
+            print(f"Discriminator loss: {losses_D[-1]:.4f}")
+            print(f"Generator loss: {losses_G[-1]:.4f}")
+            print(f"Epoch run time: {time.time() - start_time:.2f}s")
+
+        if ckpt_dir and ckpt_every and (epoch + 1) % ckpt_every == 0:
+            save_checkpoint(os.path.join(ckpt_dir, f"ckpt_epoch{epoch + 1}"), state)
+
+    train_metrics = {
+        "Average PSNR during training": avg_psnrs,
+        "Average SSIM during training": avg_ssims,
+        "Average LPIPS during training": avg_lpipss,
+        # reference swaps these two log keys (train_GAN.py:132-133); fixed here
+        "Final Generator loss": losses_G[-1] if losses_G else float("nan"),
+        "Final Discriminator loss": losses_D[-1] if losses_D else float("nan"),
+    }
+    return state, train_metrics
+
+
+def save_phase_models(state, prefix, out_dir, config):
+    save_checkpoint(os.path.join(out_dir, f"{prefix}_state"), state)
+    n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[config.factor]
+    sd = export_torch_generator(state.params_G, state.stats_G,
+                                residual_blocks_count=config.residual_blocks_count,
+                                n_shuffles=n_shuffles)
+    save_torch_pth(sd, os.path.join(out_dir, f"{prefix}_srgan_G.pth"))
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="TPU-native SRGAN training")
+    parser.add_argument("--data_dir", type=str, required=True)
+    parser.add_argument("--out_dir", type=str, required=True)
+    parser.add_argument("--pre_train_epochs", type=int, default=8000)
+    parser.add_argument("--fine_tune_epochs", type=int, default=4000)
+    parser.add_argument("--pre_train_learning_rate", type=float, default=1e-4)
+    parser.add_argument("--fine_tune_learning_rate", type=float, default=1e-5)
+    parser.add_argument("--pre_trained_models_path", type=str)
+    parser.add_argument("--train_log_freq", type=int, default=100)
+    parser.add_argument("--num_images", type=int, default=-1)
+    parser.add_argument("--downsample", type=str2bool, default=False)
+    parser.add_argument("--legacy_detach", type=str2bool, default=False)
+    parser.add_argument("--checkpoint_every", type=int, default=0,
+                        help="epochs between crash-resume checkpoints (0=off)")
+    parser.add_argument("--resume", type=str,
+                        help="orbax state checkpoint to resume from")
+    parser.add_argument("--seed", type=int, default=0)
+    return parser
+
+
+def run(argv=None):
+    args = build_parser().parse_args(argv)
+    require_dir(args.data_dir)
+    require_dir(args.out_dir)
+    check_num_images(args.num_images)
+
+    LR_dir = os.path.join(args.data_dir, "DIV2K_train_LR_x8/")
+    HR_dir = os.path.join(args.data_dir, "DIV2K_train_HR/")
+
+    factor = 8  # train_GAN.py:242
+    if args.downsample:
+        factor *= 2
+
+    out_dir = os.path.join(args.out_dir, f"trained/GANx{factor}/{timestamp()}")
+    os.makedirs(out_dir, exist_ok=True)
+
+    hr_patch = 192  # train_GAN.py:270
+    lr_patch = hr_patch // factor
+
+    config = GANTrainConfig(
+        factor=factor, batch_size=8, hr_patch=hr_patch,
+        pre_train_epochs=args.pre_train_epochs,
+        fine_tune_epochs=args.fine_tune_epochs,
+        pre_train_lr=args.pre_train_learning_rate,
+        fine_tune_lr=args.fine_tune_learning_rate,
+        legacy_detach=args.legacy_detach,
+    )
+
+    vgg = try_load_vgg19()
+    content_loss = make_content_loss(vgg)
+    print(f"Content loss: {'VGG19 phi_5,4' if vgg else 'pixel MSE (no VGG weights)'}")
+    lpips_fn = make_lpips()
+
+    dataset = GANDIV2KDataset(
+        LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,
+        num_images=args.num_images, LR_patch_size=(lr_patch, lr_patch),
+        downsample=args.downsample, train=True, seed=args.seed)
+
+    key = jax.random.key(args.seed)
+    start_time = time.time()
+
+    state = create_gan_state(key, config, config.pre_train_lr)
+    if args.resume:
+        state = load_checkpoint(args.resume, target=state)
+        print(f"Resumed from {args.resume} at step {int(state.step)}")
+
+    skip_pretrain = args.pre_trained_models_path is not None
+    if skip_pretrain:
+        pre_state = load_checkpoint(
+            os.path.join(args.pre_trained_models_path, "pre_trained_state"),
+            target=state)
+        # fresh Adam for fine-tune (train_GAN.py:35-36 fresh per phase)
+        state = create_gan_state(
+            key, config, config.fine_tune_lr,
+            params_G=pre_state.params_G, stats_G=pre_state.stats_G,
+            params_D=pre_state.params_D, stats_D=pre_state.stats_D)
+    else:
+        print("Beginnning pre-training stage..")
+        state, train_metrics = train_phase(
+            state, dataset, config, config.pre_train_lr,
+            config.pre_train_epochs, args.train_log_freq, content_loss,
+            lpips_fn, out_dir, args.checkpoint_every)
+        print("Done pre-training.")
+        save_log(out_dir, **train_metrics)
+        save_phase_models(state, "pre_trained", out_dir, config)
+        # fresh optimizers for the fine-tune phase
+        state = create_gan_state(
+            key, config, config.fine_tune_lr,
+            params_G=state.params_G, stats_G=state.stats_G,
+            params_D=state.params_D, stats_D=state.stats_D)
+
+    print("Beginning fine-tuning stage")
+    state, train_metrics = train_phase(
+        state, dataset, config, config.fine_tune_lr,
+        config.fine_tune_epochs, args.train_log_freq, content_loss,
+        lpips_fn, out_dir, args.checkpoint_every)
+    print("Done fine-tuning stage.")
+
+    runtime = time.time() - start_time
+    train_metrics["Number of images used for training"] = args.num_images
+    train_metrics["Train runtime"] = time.strftime("%H:%M:%S", time.gmtime(runtime))
+
+    save_log(out_dir, **train_metrics)
+    save_phase_models(state, "fine_tuned", out_dir, config)
+    return out_dir
+
+
+if __name__ == "__main__":
+    run()

@@ -73,8 +73,7 @@ def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
     return net, downsampler
 
 
-@partial(jax.jit, static_argnames=("config", "lpips_fn"))
-def dip_superresolve(
+def _dip_core(
     lr_image: jnp.ndarray,
     hr_image: jnp.ndarray,
     key: jax.Array,
@@ -164,3 +163,25 @@ def dip_superresolve(
                             mutable=["batch_stats"])
     curves = {"psnr": psnrs, "ssim": ssims, "lpips": lpipss, "loss": losses}
     return resolved, curves
+
+
+@partial(jax.jit, static_argnames=("config", "lpips_fn"))
+def dip_superresolve(lr_image, hr_image, key, config: DIPConfig,
+                     lpips_fn: Callable | None = None):
+    """Single-image DIP (see _dip_core docstring)."""
+    return _dip_core(lr_image, hr_image, key, config, lpips_fn)
+
+
+@partial(jax.jit, static_argnames=("config", "lpips_fn"))
+def dip_superresolve_batch(lr_images, hr_images, keys, config: DIPConfig,
+                           lpips_fn: Callable | None = None):
+    """vmapped multi-image DIP — BASELINE config 4 (batched DIP).
+
+    Args are stacked along a leading axis: lr (N, 1, h, w, 3),
+    hr (N, 1, H, W, 3), keys (N,). Each lane optimizes an independent fresh
+    net; under a ('data',) mesh the leading axis shards across devices
+    (see tpusr/parallel/dip_batch.py), giving images-per-chip scaling with
+    zero collectives (DIP is embarrassingly parallel).
+    """
+    fn = lambda lr, hr, k: _dip_core(lr, hr, k, config, lpips_fn)
+    return jax.vmap(fn)(lr_images, hr_images, keys)
