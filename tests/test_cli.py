@@ -43,6 +43,9 @@ def test_dip_cli_end_to_end(data_dir, tmp_path, monkeypatch):
         "--train_log_freq", "3",
         "--num_images", "1",
         "--save_output", "True",
+        # tiny net so the CLI path runs fast on the CPU CI backend
+        "--input_depth", "8", "--num_scales", "3",
+        "--skip_n33d", "16", "--skip_n33u", "16",
     ])
     # out/DIPx8/<timestamp>/{images/*.png, *_log.txt}
     runs = list((out_root / "out" / "DIPx8").iterdir())
@@ -58,15 +61,11 @@ def test_dip_cli_end_to_end(data_dir, tmp_path, monkeypatch):
     assert "runtime" in text
 
 
-def test_train_and_eval_gan_cli_end_to_end(data_dir, tmp_path, monkeypatch):
+def test_train_and_eval_gan_cli_end_to_end(data_dir, tmp_path):
     from tpusr.cli import eval_gan, train_gan
-    import tpusr.engine.gan as gan_mod
 
-    # shrink the models/patches for CPU CI via config monkeypatching
     out_root = tmp_path / "trained"
     out_root.mkdir()
-
-    orig_cfg = gan_mod.GANTrainConfig
 
     train_dir = train_gan.run([
         "--data_dir", data_dir,
@@ -75,6 +74,8 @@ def test_train_and_eval_gan_cli_end_to_end(data_dir, tmp_path, monkeypatch):
         "--fine_tune_epochs", "1",
         "--train_log_freq", "1",
         "--num_images", "1",
+        # tiny workload for the CPU CI backend
+        "--hr_patch_size", "64", "--batch_size", "2", "--residual_blocks", "2",
     ])
     files = os.listdir(train_dir)
     assert "pre_trained_srgan_G.pth" in files
@@ -91,6 +92,7 @@ def test_train_and_eval_gan_cli_end_to_end(data_dir, tmp_path, monkeypatch):
         "--num_images", "1",
         "--save_images", "True",
         "--factor", "8",
+        "--residual_blocks", "2",
     ])
     assert np.isfinite(metrics["avg_psnr"])
     runs = list((eval_root / "out" / "GANx8").iterdir())

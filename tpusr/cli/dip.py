@@ -117,6 +117,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--noise_param", type=float)
     parser.add_argument("--downsample", type=str2bool, default=False)
     parser.add_argument("--seed", type=int, default=0)
+    # net hyperparameters (get_net's code-level knobs, DIP.py:169-174 defaults)
+    parser.add_argument("--input_depth", type=int, default=32)
+    parser.add_argument("--num_scales", type=int, default=5)
+    parser.add_argument("--skip_n33d", type=int, default=128)
+    parser.add_argument("--skip_n33u", type=int, default=128)
+    parser.add_argument("--skip_n11", type=int, default=4)
     return parser
 
 
@@ -148,6 +154,11 @@ def run(argv=None):
         learning_rate=0.01,                       # DIP.py:318
         reg_noise_std=0.07 if args.downsample else 0.05,  # DIP.py:320-323
         log_freq=args.train_log_freq,
+        input_depth=args.input_depth,
+        num_scales=args.num_scales,
+        skip_n33d=args.skip_n33d,
+        skip_n33u=args.skip_n33u,
+        skip_n11=args.skip_n11,
     )
     main(LR_dir, HR_dir, out_dir, factor, args.num_images, config,
          args.save_output, noise_type, args.downsample, args.seed)

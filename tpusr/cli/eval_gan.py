@@ -100,6 +100,7 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--downsample", type=str2bool, default=False)
     parser.add_argument("--spatial_shards", type=int, default=1,
                         help="shard huge images across N devices (halo exchange)")
+    parser.add_argument("--residual_blocks", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
@@ -123,7 +124,8 @@ def run(argv=None):
     noise_type = validate_noise(args)
 
     print("Starting GAN evaluation..")
-    config = GANTrainConfig(factor=factor)
+    config = GANTrainConfig(factor=factor,
+                            residual_blocks_count=args.residual_blocks)
     params_G, stats_G = load_generator(args.model_path, config)
 
     dataset = GANDIV2KDataset(

@@ -120,6 +120,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--resume", type=str,
                         help="orbax state checkpoint to resume from")
     parser.add_argument("--seed", type=int, default=0)
+    # model/workload knobs (reference hardcodes: 192 patch train_GAN.py:270,
+    # batch 8 :169, 16 residual blocks generator.py:45)
+    parser.add_argument("--hr_patch_size", type=int, default=192)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--residual_blocks", type=int, default=16)
     return parser
 
 
@@ -139,11 +144,12 @@ def run(argv=None):
     out_dir = os.path.join(args.out_dir, f"trained/GANx{factor}/{timestamp()}")
     os.makedirs(out_dir, exist_ok=True)
 
-    hr_patch = 192  # train_GAN.py:270
+    hr_patch = args.hr_patch_size  # default 192, train_GAN.py:270
     lr_patch = hr_patch // factor
 
     config = GANTrainConfig(
-        factor=factor, batch_size=8, hr_patch=hr_patch,
+        factor=factor, batch_size=args.batch_size, hr_patch=hr_patch,
+        residual_blocks_count=args.residual_blocks,
         pre_train_epochs=args.pre_train_epochs,
         fine_tune_epochs=args.fine_tune_epochs,
         pre_train_lr=args.pre_train_learning_rate,
