@@ -55,6 +55,11 @@ class DIPConfig:
     skip_n11: int = 4
     num_scales: int = 5
     dtype: str = "float32"
+    # reference surface beyond DIP.py's defaults:
+    optimizer: str = "adam"        # 'adam' | 'lbfgs' (utils/DIP.py:7-42)
+    input_method: str = "noise"    # 'noise' | 'meshgrid' (utils/DIP.py:89-101)
+    opt_over: str = "net"          # 'net' | 'net,input' (utils/DIP.py:44-68)
+    lbfgs_memory: int = 10
 
 
 def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
@@ -98,37 +103,58 @@ def _dip_core(
     h, w = hr_image.shape[1], hr_image.shape[2]
 
     k_init, k_input, k_reg = jax.random.split(key, 3)
-    z = (
-        jax.random.uniform(k_input, (1, h, w, config.input_depth), jnp.float32)
-        * config.input_noise_scale
-    )
+    if config.input_method == "noise":
+        z = (
+            jax.random.uniform(k_input, (1, h, w, config.input_depth), jnp.float32)
+            * config.input_noise_scale
+        )
+    elif config.input_method == "meshgrid":
+        # utils/DIP.py:97-101: X,Y grids in [0,1]; requires input_depth == 2
+        assert config.input_depth == 2, "meshgrid input requires input_depth=2"
+        xg = jnp.linspace(0.0, 1.0, w)[None, None, :, None]
+        yg = jnp.linspace(0.0, 1.0, h)[None, :, None, None]
+        z = jnp.concatenate([
+            jnp.broadcast_to(xg, (1, h, w, 1)),
+            jnp.broadcast_to(yg, (1, h, w, 1)),
+        ], axis=-1)
+    else:
+        raise ValueError(f"unknown input method {config.input_method!r}")
 
     variables = net.init(k_init, z)
-    params, stats = variables["params"], variables["batch_stats"]
+    opt_input = "input" in config.opt_over
+    # trainables mirror get_params (utils/DIP.py:44-68): always the net,
+    # optionally the input tensor itself
+    trainable = {"net": variables["params"]}
+    if opt_input:
+        trainable["z"] = z
+    stats = variables["batch_stats"]
 
-    tx = optax.adam(config.learning_rate)  # torch Adam defaults == optax
-    opt_state = tx.init(params)
+    def z_of(t):
+        return t["z"] if opt_input else z
 
-    def loss_fn(p, st, z_iter):
+    def loss_fn(t, st, noise):
+        z_iter = z_of(t) + noise
         out_hr, updates = net.apply(
-            {"params": p, "batch_stats": st}, z_iter, True,
+            {"params": t["net"], "batch_stats": st}, z_iter, True,
             mutable=["batch_stats"])
         out_lr = downsampler(out_hr)
         loss = jnp.mean((out_lr - lr_image) ** 2)
-        return loss, (out_hr, updates["batch_stats"])
+        return loss, updates["batch_stats"]
 
-    def adam_iter(carry, k):
-        p, st, opt = carry
-        noise = jax.random.normal(k, z.shape, z.dtype)
-        z_iter = z + noise * config.reg_noise_std
-        (loss, (_, st)), grads = jax.value_and_grad(loss_fn, has_aux=True)(p, st, z_iter)
-        updates, opt = tx.update(grads, opt, p)
-        p = optax.apply_updates(p, updates)
-        return (p, st, opt), loss
+    def make_sgd_iter(tx):
+        def sgd_iter(carry, k):
+            t, st, opt = carry
+            noise = jax.random.normal(k, z.shape, z.dtype) * config.reg_noise_std
+            (loss, st), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                t, st, noise)
+            updates, opt = tx.update(grads, opt, t)
+            t = optax.apply_updates(t, updates)
+            return (t, st, opt), loss
+        return sgd_iter
 
-    def metrics_of(p, st):
-        out_hr, _ = net.apply({"params": p, "batch_stats": st}, z, True,
-                              mutable=["batch_stats"])
+    def metrics_of(t, st):
+        out_hr, _ = net.apply({"params": t["net"], "batch_stats": st},
+                              z_of(t), True, mutable=["batch_stats"])
         m_psnr = psnr_fn(out_hr, hr_image)
         m_ssim = ssim_fn(out_hr, hr_image, data_range=1.0)
         if lpips_fn is not None:
@@ -145,22 +171,62 @@ def _dip_core(
     k_reg, k_rem = jax.random.split(k_reg)
     reg_keys = jax.random.split(k_reg, (n_chunks, chunk_len))
 
-    def chunk(carry, keys):
-        p, st, opt = carry
-        # metrics at the chunk head == reference's iter % log_freq == 0 points
-        m = metrics_of(p, st)
-        (p, st, opt), losses = jax.lax.scan(adam_iter, (p, st, opt), keys)
-        return (p, st, opt), (m, losses[-1])
+    if config.optimizer == "adam":
+        tx = optax.adam(config.learning_rate)  # torch Adam defaults == optax
+        step = make_sgd_iter(tx)
+        carry = (trainable, stats, tx.init(trainable))
 
-    (params, stats, opt_state), ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
-        chunk, (params, stats, opt_state), reg_keys)
-    if remainder > 0:
-        (params, stats, opt_state), _ = jax.lax.scan(
-            adam_iter, (params, stats, opt_state),
-            jax.random.split(k_rem, remainder))
+        def chunk(carry, keys):
+            t, st, opt = carry
+            # metrics at the chunk head == iter % log_freq == 0 (DIP.py:71)
+            m = metrics_of(t, st)
+            (t, st, opt), losses = jax.lax.scan(step, (t, st, opt), keys)
+            return (t, st, opt), (m, losses[-1])
 
-    resolved, _ = net.apply({"params": params, "batch_stats": stats}, z, True,
-                            mutable=["batch_stats"])
+        carry, ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
+            chunk, carry, reg_keys)
+        if remainder > 0:
+            carry, _ = jax.lax.scan(step, carry,
+                                    jax.random.split(k_rem, remainder))
+        trainable, stats, _ = carry
+    elif config.optimizer == "lbfgs":
+        # utils/DIP.py:19-31: 100 Adam warmup steps at lr 1e-3, then LBFGS.
+        warm_tx = optax.adam(0.001)
+        warm = make_sgd_iter(warm_tx)
+        (trainable, stats, _), _ = jax.lax.scan(
+            warm, (trainable, stats, warm_tx.init(trainable)),
+            jax.random.split(k_rem, 100))
+
+        # LBFGS stage: deterministic objective (reg noise frozen at 0 —
+        # a stochastic loss would defeat the line search; documented
+        # divergence from the reference's noisy closure).
+        zero_noise = jnp.zeros_like(z)
+        det_loss = lambda t: loss_fn(t, stats, zero_noise)[0]
+        tx = optax.lbfgs(memory_size=config.lbfgs_memory)
+        vg = optax.value_and_grad_from_state(det_loss)
+
+        def lbfgs_iter(carry, _):
+            t, opt = carry
+            value, grads = vg(t, state=opt)
+            updates, opt = tx.update(grads, opt, t, value=value, grad=grads,
+                                     value_fn=det_loss)
+            t = optax.apply_updates(t, updates)
+            return (t, opt), value
+
+        def lchunk(carry, _):
+            t, opt = carry
+            m = metrics_of(t, stats)
+            (t, opt), losses = jax.lax.scan(lbfgs_iter, (t, opt), None,
+                                            length=chunk_len)
+            return (t, opt), (m, losses[-1])
+
+        (trainable, _), ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
+            lchunk, (trainable, tx.init(trainable)), None, length=n_chunks)
+    else:
+        raise ValueError(f"unknown optimizer {config.optimizer!r}")
+
+    resolved, _ = net.apply({"params": trainable["net"], "batch_stats": stats},
+                            z_of(trainable), True, mutable=["batch_stats"])
     curves = {"psnr": psnrs, "ssim": ssims, "lpips": lpipss, "loss": losses}
     return resolved, curves
 

@@ -165,6 +165,18 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     return x.reshape(n, h * r, w * r, cout)
 
 
+def pool2x2(x: jnp.ndarray, mode: str) -> jnp.ndarray:
+    """torch AvgPool2d(2,2) / MaxPool2d(2,2) parity over NHWC."""
+    if mode == "avg":
+        s = jax.lax.reduce_window(x, 0.0, jax.lax.add,
+                                  (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+        return s / 4.0
+    if mode == "max":
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max,
+                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+    raise ValueError(f"unknown pool mode {mode!r}")
+
+
 def upsample2x(x: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
     """torch nn.Upsample(scale_factor=2) parity (align_corners=False)."""
     n, h, w, c = x.shape

@@ -30,6 +30,7 @@ from tpusr.models.layers import (
     Conv,
     activation,
     concat_center_crop,
+    pool2x2,
     upsample2x,
 )
 
@@ -47,8 +48,9 @@ class SkipNet(nn.Module):
     need_bias: bool = True
     pad: str = "zero"  # 'zero' | 'reflection'
     upsample_mode: str = "nearest"  # 'nearest' | 'bilinear'
-    act_fun: str = "LeakyReLU"
+    act_fun: str = "LeakyReLU"  # 'LeakyReLU' | 'ELU' | 'none'
     need1x1_up: bool = True
+    downsample_mode: str = "stride"  # 'stride' | 'avg' | 'max' (utils.py:83-94)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -67,9 +69,17 @@ class SkipNet(nn.Module):
                 s = BatchNorm(name=f"skip{i}_bn")(s, ura)
                 branches.append(act(s))
 
-            d = Conv(self.num_channels_down[i], self.filter_size_down, stride=2,
-                     use_bias=self.need_bias, pad_mode=self.pad,
-                     name=f"down{i}_conv1")(h)
+            if self.downsample_mode == "stride":
+                d = Conv(self.num_channels_down[i], self.filter_size_down,
+                         stride=2, use_bias=self.need_bias, pad_mode=self.pad,
+                         name=f"down{i}_conv1")(h)
+            else:
+                # conv stride 1 then avg/max pool(2,2) — the reference's
+                # alternative downsample modes (models/DIP/utils.py:85-94)
+                d = Conv(self.num_channels_down[i], self.filter_size_down,
+                         use_bias=self.need_bias, pad_mode=self.pad,
+                         name=f"down{i}_conv1")(h)
+                d = pool2x2(d, self.downsample_mode)
             d = act(BatchNorm(name=f"down{i}_bn1")(d, ura))
             d = Conv(self.num_channels_down[i], self.filter_size_down,
                      use_bias=self.need_bias, pad_mode=self.pad,
