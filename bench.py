@@ -27,17 +27,28 @@ import numpy as np
 DIP_H, DIP_W = 512, 512          # HR optimization canvas (pad-free square)
 DIP_FACTOR = 8
 DIP_ITERS = 1000
-TORCH_BASELINE_ITERS = 5          # extrapolated; torch-CPU is ~seconds/iter
+TORCH_BASELINE_ITERS = 3          # extrapolated; torch-CPU is ~1 min/iter here
 
 
-def bench_dip_tpu(num_iter: int) -> float:
+def _sync(x) -> float:
+    """Force full device execution + tiny host readback.
+
+    On the tunneled TPU platform used here, block_until_ready() acks at
+    dispatch; materializing a scalar reduction is the only honest fence.
+    """
+    import jax.numpy as jnp
+
+    return float(jnp.sum(x))
+
+
+def bench_dip_tpu(num_iter: int, dtype: str = "bfloat16") -> float:
     import jax
     import jax.numpy as jnp
 
     from tpusr.engine.dip import DIPConfig, dip_superresolve
 
     config = DIPConfig(factor=DIP_FACTOR, num_iter=num_iter,
-                       log_freq=max(num_iter // 10, 1))
+                       log_freq=max(num_iter // 10, 1), dtype=dtype)
     rng = np.random.default_rng(0)
     hr = jnp.asarray(rng.random((1, DIP_H, DIP_W, 3)), jnp.float32)
     lr = jnp.asarray(
@@ -45,11 +56,11 @@ def bench_dip_tpu(num_iter: int) -> float:
 
     # compile (not timed)
     resolved, _ = dip_superresolve(lr, hr, jax.random.key(0), config)
-    resolved.block_until_ready()
+    _sync(resolved)
 
     t0 = time.perf_counter()
     resolved, _ = dip_superresolve(lr, hr, jax.random.key(1), config)
-    resolved.block_until_ready()
+    _sync(resolved)
     return time.perf_counter() - t0
 
 
@@ -137,13 +148,13 @@ def bench_gan_eval_mpix() -> float:
     lr = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3)), jnp.float32)
 
     out = generator_forward(state.params_G, state.stats_G, lr, config, train=False)
-    out.block_until_ready()
+    _sync(out)
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
         out = generator_forward(state.params_G, state.stats_G, lr, config,
                                 train=False)
-    out.block_until_ready()
+    _sync(out)
     dt = (time.perf_counter() - t0) / reps
     mpix = (128 * 8) * (128 * 8) / 1e6
     return mpix / dt
@@ -173,6 +184,7 @@ def main():
         "vs_baseline": round(torch_sec_per_image_1k / tpu_sec_per_image_1k, 2),
         "extra": {
             "dip_hr_shape": [DIP_H, DIP_W],
+            "dip_dtype": "bfloat16",
             "dip_iters_measured": dip_iters,
             "torch_cpu_sec_per_image_1k_iters": round(torch_sec_per_image_1k, 1),
             "gan_x8_eval_megapixels_per_sec_per_chip": round(gan_mpix, 2),

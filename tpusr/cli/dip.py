@@ -123,6 +123,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--skip_n33d", type=int, default=128)
     parser.add_argument("--skip_n33u", type=int, default=128)
     parser.add_argument("--skip_n11", type=int, default=4)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="activation compute dtype (params stay f32)")
+    parser.add_argument("--profile_dir", type=str,
+                        help="emit a jax.profiler trace to this directory")
     return parser
 
 
@@ -159,9 +164,13 @@ def run(argv=None):
         skip_n33d=args.skip_n33d,
         skip_n33u=args.skip_n33u,
         skip_n11=args.skip_n11,
+        dtype=args.dtype,
     )
-    main(LR_dir, HR_dir, out_dir, factor, args.num_images, config,
-         args.save_output, noise_type, args.downsample, args.seed)
+    from tpusr.utils.profiling import maybe_trace
+
+    with maybe_trace(args.profile_dir):
+        main(LR_dir, HR_dir, out_dir, factor, args.num_images, config,
+             args.save_output, noise_type, args.downsample, args.seed)
 
 
 if __name__ == "__main__":

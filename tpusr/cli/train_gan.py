@@ -125,6 +125,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--hr_patch_size", type=int, default=192)
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--residual_blocks", type=int, default=16)
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--profile_dir", type=str)
     return parser
 
 
@@ -155,6 +158,7 @@ def run(argv=None):
         pre_train_lr=args.pre_train_learning_rate,
         fine_tune_lr=args.fine_tune_learning_rate,
         legacy_detach=args.legacy_detach,
+        dtype=None if args.dtype == "float32" else args.dtype,
     )
 
     vgg = try_load_vgg19()

@@ -71,6 +71,7 @@ def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
         skip_n33u=config.skip_n33u,
         skip_n11=config.skip_n11,
         num_scales=config.num_scales,
+        dtype=None if config.dtype == "float32" else config.dtype,
     )
     downsampler = Downsampler(
         n_planes=3, factor=config.factor, kernel_type="lanczos2",

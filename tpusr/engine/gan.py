@@ -45,6 +45,7 @@ class GANTrainConfig:
     residual_blocks_count: int = 16
     legacy_detach: bool = False  # reproduce train_GAN.py:58 exactly
     content: str = "auto"  # 'auto' | 'vgg' | 'mse'
+    dtype: str | None = None  # 'bfloat16' activations (params stay f32)
 
 
 class GANTrainState(struct.PyTreeNode):
@@ -60,8 +61,9 @@ class GANTrainState(struct.PyTreeNode):
 def _models(config: GANTrainConfig) -> tuple[Generator, Discriminator]:
     return (
         Generator(factor=config.factor,
-                  residual_blocks_count=config.residual_blocks_count),
-        Discriminator(),
+                  residual_blocks_count=config.residual_blocks_count,
+                  dtype=config.dtype),
+        Discriminator(dtype=config.dtype),
     )
 
 

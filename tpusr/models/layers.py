@@ -20,10 +20,11 @@ out of this module naturally.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 import flax.linen as nn
 
 
@@ -66,6 +67,7 @@ class Conv(nn.Module):
     stride: int = 1
     use_bias: bool = True
     pad_mode: str = "zero"  # 'zero' | 'reflection' | 'valid'
+    dtype: Any = None  # compute dtype (params stay float32)
 
     @nn.compact
     def __call__(self, x):
@@ -85,6 +87,7 @@ class Conv(nn.Module):
             strides=(self.stride, self.stride),
             padding=padding,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init_for(fan_in),
         )(x)
@@ -92,11 +95,13 @@ class Conv(nn.Module):
 
 class Dense(nn.Module):
     features: int
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         return nn.Dense(
             features=self.features,
+            dtype=self.dtype,
             kernel_init=torch_kernel_init,
             bias_init=torch_bias_init_for(x.shape[-1]),
         )(x)
@@ -122,12 +127,14 @@ class BatchNorm(nn.Module):
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
 
+        in_dtype = x.dtype
+        xf = x.astype(jnp.float32)  # stats always in f32 (mixed precision)
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             axes = tuple(range(x.ndim - 1))
-            mean = jnp.mean(x, axis=axes)
-            var = jnp.var(x, axis=axes)
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.var(xf, axis=axes)
             n = x.size // c
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
@@ -136,7 +143,7 @@ class BatchNorm(nn.Module):
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
 
         inv = jax.lax.rsqrt(var + self.eps)
-        return (x - mean) * inv * scale + bias
+        return ((xf - mean) * inv * scale + bias).astype(in_dtype)
 
 
 class PReLU(nn.Module):
@@ -145,7 +152,7 @@ class PReLU(nn.Module):
     @nn.compact
     def __call__(self, x):
         a = self.param("alpha", lambda k, s: jnp.full(s, 0.25), (1,))
-        return jnp.where(x >= 0, x, a * x)
+        return jnp.where(x >= 0, x, a.astype(x.dtype) * x)
 
 
 def leaky_relu(x, negative_slope=0.2):
@@ -177,14 +184,33 @@ def pool2x2(x: jnp.ndarray, mode: str) -> jnp.ndarray:
     raise ValueError(f"unknown pool mode {mode!r}")
 
 
+def _linear2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """2x linear upsample along one axis, half-pixel centers, edge clamp.
+
+    Closed form for scale 2 / align_corners=False: the two output samples
+    around input i are 0.25*x[i-1]+0.75*x[i] and 0.75*x[i]+0.25*x[i+1].
+    Pure shifts + fma + interleave — no gathers, so XLA keeps it on the VPU
+    (jax.image.resize lowers to gathers that crawl on TPU).
+    """
+    n = x.shape[axis]
+    lo = jnp.concatenate([lax.slice_in_dim(x, 0, 1, axis=axis),
+                          lax.slice_in_dim(x, 0, n - 1, axis=axis)], axis=axis)
+    hi = jnp.concatenate([lax.slice_in_dim(x, 1, n, axis=axis),
+                          lax.slice_in_dim(x, n - 1, n, axis=axis)], axis=axis)
+    even = 0.25 * lo + 0.75 * x
+    odd = 0.75 * x + 0.25 * hi
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] = 2 * n
+    return stacked.reshape(new_shape)
+
+
 def upsample2x(x: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
     """torch nn.Upsample(scale_factor=2) parity (align_corners=False)."""
-    n, h, w, c = x.shape
     if mode == "nearest":
         return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     if mode == "bilinear":
-        # jax.image 'linear' uses half-pixel centers == torch align_corners=False
-        return jax.image.resize(x, (n, 2 * h, 2 * w, c), method="linear")
+        return _linear2x_axis(_linear2x_axis(x, 1), 2)
     raise ValueError(f"unknown upsample mode {mode!r}")
 
 

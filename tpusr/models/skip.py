@@ -51,39 +51,44 @@ class SkipNet(nn.Module):
     act_fun: str = "LeakyReLU"  # 'LeakyReLU' | 'ELU' | 'none'
     need1x1_up: bool = True
     downsample_mode: str = "stride"  # 'stride' | 'avg' | 'max' (utils.py:83-94)
+    dtype: str | None = None  # 'bfloat16' for mixed-precision compute
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         n_scales = len(self.num_channels_down)
         act = activation(self.act_fun)
         ura = not train
+        dt = jnp.dtype(self.dtype) if self.dtype else None
+        if dt is not None:
+            x = x.astype(dt)
+
+        def conv(features, ksize, name, stride=1):
+            return Conv(features, ksize, stride=stride,
+                        use_bias=self.need_bias, pad_mode=self.pad,
+                        dtype=dt, name=name)
 
         def level(i: int, h: jnp.ndarray) -> jnp.ndarray:
             last = i == n_scales - 1
 
             branches = []
             if self.num_channels_skip[i] != 0:
-                s = Conv(self.num_channels_skip[i], self.filter_skip_size,
-                         use_bias=self.need_bias, pad_mode=self.pad,
-                         name=f"skip{i}_conv")(h)
+                s = conv(self.num_channels_skip[i], self.filter_skip_size,
+                         f"skip{i}_conv")(h)
                 s = BatchNorm(name=f"skip{i}_bn")(s, ura)
                 branches.append(act(s))
 
             if self.downsample_mode == "stride":
-                d = Conv(self.num_channels_down[i], self.filter_size_down,
-                         stride=2, use_bias=self.need_bias, pad_mode=self.pad,
-                         name=f"down{i}_conv1")(h)
+                d = conv(self.num_channels_down[i], self.filter_size_down,
+                         f"down{i}_conv1", stride=2)(h)
             else:
                 # conv stride 1 then avg/max pool(2,2) — the reference's
                 # alternative downsample modes (models/DIP/utils.py:85-94)
-                d = Conv(self.num_channels_down[i], self.filter_size_down,
-                         use_bias=self.need_bias, pad_mode=self.pad,
-                         name=f"down{i}_conv1")(h)
+                d = conv(self.num_channels_down[i], self.filter_size_down,
+                         f"down{i}_conv1")(h)
                 d = pool2x2(d, self.downsample_mode)
             d = act(BatchNorm(name=f"down{i}_bn1")(d, ura))
-            d = Conv(self.num_channels_down[i], self.filter_size_down,
-                     use_bias=self.need_bias, pad_mode=self.pad,
-                     name=f"down{i}_conv2")(d)
+            d = conv(self.num_channels_down[i], self.filter_size_down,
+                     f"down{i}_conv2")(d)
             d = act(BatchNorm(name=f"down{i}_bn2")(d, ura))
 
             if not last:
@@ -93,19 +98,17 @@ class SkipNet(nn.Module):
 
             z = concat_center_crop(branches, axis=-1)
             z = BatchNorm(name=f"merge{i}_bn")(z, ura)
-            z = Conv(self.num_channels_up[i], self.filter_size_up,
-                     use_bias=self.need_bias, pad_mode=self.pad,
-                     name=f"up{i}_conv")(z)
+            z = conv(self.num_channels_up[i], self.filter_size_up,
+                     f"up{i}_conv")(z)
             z = act(BatchNorm(name=f"up{i}_bn")(z, ura))
             if self.need1x1_up:
-                z = Conv(self.num_channels_up[i], 1, use_bias=self.need_bias,
-                         pad_mode=self.pad, name=f"up{i}_conv1x1")(z)
+                z = conv(self.num_channels_up[i], 1, f"up{i}_conv1x1")(z)
                 z = act(BatchNorm(name=f"up{i}_bn1x1")(z, ura))
             return z
 
         out = level(0, x)
-        out = Conv(self.num_output_channels, 1, use_bias=self.need_bias,
-                   pad_mode=self.pad, name="head_conv")(out)
+        out = conv(self.num_output_channels, 1, "head_conv")(out)
+        out = out.astype(jnp.float32)
         if self.need_sigmoid:
             out = nn.sigmoid(out)
         return out
@@ -121,6 +124,8 @@ def build_dip_net(
     skip_n33u: int = 128,
     skip_n11: int = 4,
     num_scales: int = 5,
+    downsample_mode: str = "stride",
+    dtype: str | None = None,
 ) -> SkipNet:
     """The DIP.py:169-174 configuration (get_net parity)."""
     return SkipNet(
@@ -134,4 +139,6 @@ def build_dip_net(
         act_fun=act_fun,
         need_sigmoid=True,
         need_bias=True,
+        downsample_mode=downsample_mode,
+        dtype=dtype,
     )

@@ -18,6 +18,8 @@ TPU-first differences (behavior-preserving):
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -27,13 +29,15 @@ from tpusr.models.layers import BatchNorm, Conv, Dense, PReLU, leaky_relu, pixel
 class ResidualBlock(nn.Module):
     """conv k3 -> BN -> PReLU -> conv k3 -> BN -> +x (generator.py:4-25)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         ura = not train
-        z = Conv(64, 3, name="conv1")(x)
+        z = Conv(64, 3, dtype=self.dtype, name="conv1")(x)
         z = BatchNorm(name="bn1")(z, ura)
         z = PReLU(name="prelu1")(z)
-        z = Conv(64, 3, name="conv2")(z)
+        z = Conv(64, 3, dtype=self.dtype, name="conv2")(z)
         z = BatchNorm(name="bn2")(z, ura)
         return x + z
 
@@ -41,9 +45,11 @@ class ResidualBlock(nn.Module):
 class PixelShuffleBlock(nn.Module):
     """conv 64->256 k3 -> PixelShuffle(2) -> PReLU (generator.py:27-41)."""
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x):
-        x = Conv(256, 3, name="conv1")(x)
+        x = Conv(256, 3, dtype=self.dtype, name="conv1")(x)
         x = pixel_shuffle(x, 2)
         return PReLU(name="prelu1")(x)
 
@@ -53,56 +59,65 @@ class Generator(nn.Module):
 
     factor 8 -> 3 shuffle blocks, factor 16 -> 4 (generator.py:55-58); any
     power of two is accepted here (the x4 benchmark config uses 2 blocks).
+    ``dtype='bfloat16'`` computes activations in bf16 (params stay f32);
+    the output is always f32.
     """
 
     factor: int = 8
     residual_blocks_count: int = 16
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ura = not train
         n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[self.factor]
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
 
-        z = Conv(64, 9, name="conv1")(x)
+        z = Conv(64, 9, dtype=self.dtype, name="conv1")(x)
         x0 = PReLU(name="prelu1")(z)
 
         z = x0
         for i in range(self.residual_blocks_count):
-            z = ResidualBlock(name=f"res{i}")(z, train)
+            z = ResidualBlock(dtype=self.dtype, name=f"res{i}")(z, train)
 
-        z = Conv(64, 3, name="conv2")(z)
+        z = Conv(64, 3, dtype=self.dtype, name="conv2")(z)
         z = BatchNorm(name="bn1")(z, ura)
         z = x0 + z  # long skip (generator.py:74)
 
         for i in range(n_shuffles):
-            z = PixelShuffleBlock(name=f"ps{i}")(z)
+            z = PixelShuffleBlock(dtype=self.dtype, name=f"ps{i}")(z)
 
-        z = Conv(3, 9, name="conv3")(z)
-        return jnp.tanh(z)
+        z = Conv(3, 9, dtype=self.dtype, name="conv3")(z)
+        return jnp.tanh(z.astype(jnp.float32))
 
 
 class Discriminator(nn.Module):
-    """SRGAN discriminator over NHWC patches; returns logits.
+    """SRGAN discriminator over NHWC patches; returns logits (float32).
 
     Channel/stride schedule 64(s2),128(s1),128(s2),256(s1),256(s2),512(s1),
     512(s2) after the stem (discriminator.py:29-35).
     """
 
+    dtype: Any = None
+
     @nn.compact
     def __call__(self, x, train: bool = True):
         ura = not train
-        x = Conv(64, 3, name="conv")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        x = Conv(64, 3, dtype=self.dtype, name="conv")(x)
         x = leaky_relu(x, 0.2)
         schedule = [(64, 2), (128, 1), (128, 2), (256, 1), (256, 2), (512, 1), (512, 2)]
         for i, (ch, st) in enumerate(schedule):
-            x = Conv(ch, 3, stride=st, name=f"block{i}_conv")(x)
+            x = Conv(ch, 3, stride=st, dtype=self.dtype, name=f"block{i}_conv")(x)
             x = BatchNorm(name=f"block{i}_bn")(x, ura)
             x = leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
-        x = Dense(1024, name="dense1")(x)
+        x = Dense(1024, dtype=self.dtype, name="dense1")(x)
         x = leaky_relu(x, 0.2)
-        logits = Dense(1, name="dense2")(x)
-        return logits
+        logits = Dense(1, dtype=self.dtype, name="dense2")(x)
+        return logits.astype(jnp.float32)
 
 
 def discriminator_prob(logits: jnp.ndarray) -> jnp.ndarray:
