@@ -143,7 +143,7 @@ def bench_gan_eval_mpix() -> float:
 
     from tpusr.engine.gan import GANTrainConfig, create_gan_state, generator_forward
 
-    config = GANTrainConfig(factor=8)
+    config = GANTrainConfig(factor=8, dtype="bfloat16")
     state = create_gan_state(jax.random.key(0), config, 1e-4)
     lr = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3)), jnp.float32)
 
