@@ -23,7 +23,12 @@ import jax
 
 from tpusr.cli.common import check_num_images, str2bool, timestamp, validate_noise
 from tpusr.data.div2k import DIV2KDataset
-from tpusr.engine.dip import DIPConfig, dip_superresolve
+from tpusr.engine.dip import (
+    DIPConfig,
+    dip_superresolve,
+    dip_superresolve_bucketed,
+    pad_to_bucket,
+)
 from tpusr.engine.metrics import psnr as psnr_fn
 from tpusr.engine.metrics import ssim as ssim_fn
 from tpusr.io.images import save_image, to_uint8
@@ -33,7 +38,7 @@ from tpusr.utils.convert import np_to_device
 
 
 def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
-         save_output, noise_type, downsample, seed=0):
+         save_output, noise_type, downsample, seed=0, bucket=0):
     dataset = DIV2KDataset(LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,
                            num_images=num_images, noise_type=noise_type,
                            downsample=downsample, seed=seed)
@@ -62,8 +67,19 @@ def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
         hr_dev = np_to_device(hr_img)
 
         t0 = time.time()
-        resolved, image_curves = dip_superresolve(lr_dev, hr_dev, k_img,
-                                                  config, lpips_fn)
+        if bucket:
+            # one XLA program per size bucket instead of per unique shape
+            hr_pad, (h, w) = pad_to_bucket(hr_img, bucket)
+            lth, ltw = hr_pad.shape[0] // factor, hr_pad.shape[1] // factor
+            lr_pad = np.pad(lr_img, ((0, lth - lr_img.shape[0]),
+                                     (0, ltw - lr_img.shape[1]), (0, 0)))
+            resolved, image_curves = dip_superresolve_bucketed(
+                np_to_device(lr_pad), np_to_device(hr_pad),
+                np.asarray([h, w], np.int32), k_img, config, lpips_fn)
+            resolved = resolved[:, :h, :w]
+        else:
+            resolved, image_curves = dip_superresolve(lr_dev, hr_dev, k_img,
+                                                      config, lpips_fn)
         resolved.block_until_ready()
         print(f"Image runtime: {time.time() - t0:.2f}s")
 
@@ -126,6 +142,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation compute dtype (params stay f32)")
+    parser.add_argument("--bucket", type=int, default=0,
+                        help="pad images to multiples of this (must be a "
+                             "multiple of the factor); 0 = exact shapes. "
+                             "Avoids one jit compile per unique image shape")
     parser.add_argument("--profile_dir", type=str,
                         help="emit a jax.profiler trace to this directory")
     return parser
@@ -166,11 +186,16 @@ def run(argv=None):
         skip_n11=args.skip_n11,
         dtype=args.dtype,
     )
+    if args.bucket and args.bucket % factor != 0:
+        print(f"--bucket must be a multiple of the scale factor ({factor})")
+        sys.exit(1)
+
     from tpusr.utils.profiling import maybe_trace
 
     with maybe_trace(args.profile_dir):
         main(LR_dir, HR_dir, out_dir, factor, args.num_images, config,
-             args.save_output, noise_type, args.downsample, args.seed)
+             args.save_output, noise_type, args.downsample, args.seed,
+             bucket=args.bucket)
 
 
 if __name__ == "__main__":

@@ -31,6 +31,7 @@ from tpusr.engine.losses import make_content_loss
 from tpusr.engine.metrics import psnr as psnr_fn
 from tpusr.engine.metrics import ssim as ssim_fn
 from tpusr.io.checkpoint import (
+    export_torch_discriminator,
     export_torch_generator,
     load_checkpoint,
     save_checkpoint,
@@ -100,6 +101,10 @@ def save_phase_models(state, prefix, out_dir, config):
                                 residual_blocks_count=config.residual_blocks_count,
                                 n_shuffles=n_shuffles)
     save_torch_pth(sd, os.path.join(out_dir, f"{prefix}_srgan_G.pth"))
+    # the reference persists the discriminator too (train_GAN.py:188)
+    sd_d = export_torch_discriminator(state.params_D, state.stats_D,
+                                      hr_patch=config.hr_patch)
+    save_torch_pth(sd_d, os.path.join(out_dir, f"{prefix}_srgan_D.pth"))
 
 
 def build_parser() -> argparse.ArgumentParser:

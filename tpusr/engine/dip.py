@@ -85,6 +85,7 @@ def _dip_core(
     key: jax.Array,
     config: DIPConfig,
     lpips_fn: Callable | None = None,
+    valid_hw: jnp.ndarray | None = None,
 ):
     """Super-resolve one image with DIP.
 
@@ -133,13 +134,27 @@ def _dip_core(
     def z_of(t):
         return t["z"] if opt_input else z
 
+    if valid_hw is not None:
+        # shape-bucketed mode: inputs are padded to a static bucket; the
+        # true extent is a traced value -> ONE compile serves every image
+        # in the bucket (each remote compile costs minutes; SURVEY.md §7
+        # "dynamic image shapes vs XLA static shapes").
+        from tpusr.engine.metrics import _valid_mask
+
+        lr_valid = valid_hw // config.factor
+        lr_mask = _valid_mask(lr_image.shape[1:3], lr_valid)
+        lr_count = jnp.maximum(jnp.sum(lr_mask), 1.0) * lr_image.shape[-1]
+
     def loss_fn(t, st, noise):
         z_iter = z_of(t) + noise
         out_hr, updates = net.apply(
             {"params": t["net"], "batch_stats": st}, z_iter, True,
             mutable=["batch_stats"])
         out_lr = downsampler(out_hr)
-        loss = jnp.mean((out_lr - lr_image) ** 2)
+        if valid_hw is None:
+            loss = jnp.mean((out_lr - lr_image) ** 2)
+        else:
+            loss = jnp.sum(((out_lr - lr_image) ** 2) * lr_mask) / lr_count
         return loss, updates["batch_stats"]
 
     def make_sgd_iter(tx):
@@ -156,8 +171,14 @@ def _dip_core(
     def metrics_of(t, st):
         out_hr, _ = net.apply({"params": t["net"], "batch_stats": st},
                               z_of(t), True, mutable=["batch_stats"])
-        m_psnr = psnr_fn(out_hr, hr_image)
-        m_ssim = ssim_fn(out_hr, hr_image, data_range=1.0)
+        if valid_hw is None:
+            m_psnr = psnr_fn(out_hr, hr_image)
+            m_ssim = ssim_fn(out_hr, hr_image, data_range=1.0)
+        else:
+            from tpusr.engine.metrics import psnr_masked, ssim_masked
+
+            m_psnr = psnr_masked(out_hr, hr_image, valid_hw)
+            m_ssim = ssim_masked(out_hr, hr_image, valid_hw)
         if lpips_fn is not None:
             m_lpips = lpips_fn(out_hr, hr_image)
         else:
@@ -237,6 +258,41 @@ def dip_superresolve(lr_image, hr_image, key, config: DIPConfig,
                      lpips_fn: Callable | None = None):
     """Single-image DIP (see _dip_core docstring)."""
     return _dip_core(lr_image, hr_image, key, config, lpips_fn)
+
+
+@partial(jax.jit, static_argnames=("config", "lpips_fn"))
+def dip_superresolve_bucketed(lr_image, hr_image, valid_hw, key,
+                              config: DIPConfig,
+                              lpips_fn: Callable | None = None):
+    """Shape-bucketed single-image DIP.
+
+    lr/hr are zero-padded (bottom/right) to a static bucket size; valid_hw
+    is the true (H, W) of the HR image as a traced int array. Loss and
+    metric curves are masked to the valid region; the caller crops the
+    returned (padded) image to valid_hw on the host. One XLA program per
+    bucket instead of one per unique image shape.
+    """
+    return _dip_core(lr_image, hr_image, key, config, lpips_fn,
+                     valid_hw=jnp.asarray(valid_hw, jnp.int32))
+
+
+def pad_to_bucket(arr, bucket: int):
+    """Pad NHWC (or HWC) bottom/right with zeros to multiples of bucket.
+
+    Returns (padded, (h, w)) with the original spatial size.
+    """
+    import numpy as np
+
+    spatial = (-3, -2)
+    h, w = arr.shape[spatial[0]], arr.shape[spatial[1]]
+    ph = (-h) % bucket
+    pw = (-w) % bucket
+    if ph == 0 and pw == 0:
+        return arr, (h, w)
+    pad = [(0, 0)] * arr.ndim
+    pad[spatial[0]] = (0, ph)
+    pad[spatial[1]] = (0, pw)
+    return np.pad(np.asarray(arr), pad), (h, w)
 
 
 @partial(jax.jit, static_argnames=("config", "lpips_fn"))

@@ -18,8 +18,43 @@ separable depthwise conv.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+
+def _valid_mask(shape_hw, valid_hw, dtype=jnp.float32) -> jnp.ndarray:
+    """(H, W, 1) mask of rows < valid_hw[0] and cols < valid_hw[1]."""
+    h, w = shape_hw
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < valid_hw[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < valid_hw[1]
+    return (rows & cols).astype(dtype)[..., None]
+
+
+def psnr_masked(pred, target, valid_hw, data_range: float = 1.0) -> jnp.ndarray:
+    """PSNR over the valid top-left region of padded NHWC images.
+
+    Used by the shape-bucketed DIP path: shapes are static (bucketed), the
+    valid extent is a traced value, so one compile serves every image in the
+    bucket.
+    """
+    pred = pred.astype(jnp.float32)
+    target = target.astype(jnp.float32)
+    m = _valid_mask(pred.shape[1:3], valid_hw)
+    n = jnp.maximum(jnp.sum(m), 1.0) * pred.shape[0] * pred.shape[-1]
+    mse = jnp.sum(((pred - target) ** 2) * m) / n
+    return 10.0 * jnp.log10(data_range * data_range / mse)
+
+
+def ssim_masked(pred, target, valid_hw, data_range: float = 1.0,
+                kernel_size: int = 11, sigma: float = 1.5,
+                k1: float = 0.01, k2: float = 0.03) -> jnp.ndarray:
+    """SSIM averaged over the valid part of the (valid-conv) SSIM map."""
+    ssim_map = _ssim_map(pred, target, data_range, kernel_size, sigma, k1, k2)
+    crop = kernel_size - 1
+    m = _valid_mask(ssim_map.shape[1:3], valid_hw - crop)
+    n = jnp.maximum(jnp.sum(m), 1.0) * ssim_map.shape[0] * ssim_map.shape[-1]
+    return jnp.sum(ssim_map * m) / n
 
 
 def psnr(pred: jnp.ndarray, target: jnp.ndarray, data_range: float | None = None) -> jnp.ndarray:
@@ -54,16 +89,7 @@ def _depthwise_blur(x: jnp.ndarray, win: jnp.ndarray) -> jnp.ndarray:
                                     dimension_numbers=dn, feature_group_count=c)
 
 
-def ssim(
-    pred: jnp.ndarray,
-    target: jnp.ndarray,
-    data_range: float = 1.0,
-    kernel_size: int = 11,
-    sigma: float = 1.5,
-    k1: float = 0.01,
-    k2: float = 0.03,
-) -> jnp.ndarray:
-    """Structural similarity, mean over the valid SSIM map, batch and channels."""
+def _ssim_map(pred, target, data_range, kernel_size, sigma, k1, k2):
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     win = jnp.asarray(_gaussian_window(kernel_size, sigma))
@@ -83,4 +109,17 @@ def ssim(
 
     num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)
     den = (mu_p * mu_p + mu_t * mu_t + c1) * (var_p + var_t + c2)
-    return jnp.mean(num / den)
+    return num / den
+
+
+def ssim(
+    pred: jnp.ndarray,
+    target: jnp.ndarray,
+    data_range: float = 1.0,
+    kernel_size: int = 11,
+    sigma: float = 1.5,
+    k1: float = 0.01,
+    k2: float = 0.03,
+) -> jnp.ndarray:
+    """Structural similarity, mean over the valid SSIM map, batch and channels."""
+    return jnp.mean(_ssim_map(pred, target, data_range, kernel_size, sigma, k1, k2))

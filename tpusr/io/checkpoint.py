@@ -201,6 +201,43 @@ def export_torch_generator(params: dict, stats: dict,
     return sd
 
 
+def export_torch_discriminator(params: dict, stats: dict, hr_patch: int = 192) -> dict:
+    """(params, batch_stats) -> reference-named Discriminator state_dict.
+
+    Inverse of import_torch_discriminator, including the NHWC->NCHW dense1
+    row permutation. Parity target: save_model(pre_trained_D, ...) at
+    train_GAN.py:188.
+    """
+    sd: dict[str, np.ndarray] = {}
+
+    def put_conv(tkey, tree):
+        c = _conv_out(tree["Conv_0"])
+        sd[f"{tkey}.weight"] = c["weight"]
+        sd[f"{tkey}.bias"] = c["bias"]
+
+    def put_bn(tkey, p, s):
+        sd[f"{tkey}.weight"] = np.asarray(p["scale"])
+        sd[f"{tkey}.bias"] = np.asarray(p["bias"])
+        sd[f"{tkey}.running_mean"] = np.asarray(s["mean"])
+        sd[f"{tkey}.running_var"] = np.asarray(s["var"])
+        sd[f"{tkey}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+    put_conv("conv", params["conv"])
+    for i in range(7):
+        put_conv(f"convblocks.{i}.conv1", params[f"block{i}_conv"])
+        put_bn(f"convblocks.{i}.bn1", params[f"block{i}_bn"], stats[f"block{i}_bn"])
+
+    h = w = hr_patch // 16
+    c = 512
+    k1 = np.asarray(params["dense1"]["Dense_0"]["kernel"])  # (H*W*C, 1024)
+    w1 = k1.T.reshape(1024, h, w, c).transpose(0, 3, 1, 2).reshape(1024, c * h * w)
+    sd["dense1.weight"] = w1
+    sd["dense1.bias"] = np.asarray(params["dense1"]["Dense_0"]["bias"])
+    sd["dense2.weight"] = np.asarray(params["dense2"]["Dense_0"]["kernel"]).T
+    sd["dense2.bias"] = np.asarray(params["dense2"]["Dense_0"]["bias"])
+    return sd
+
+
 def save_torch_pth(sd: dict, path: str) -> None:
     import torch
 
