@@ -160,6 +160,34 @@ def bench_gan_eval_mpix() -> float:
     return mpix / dt
 
 
+def bench_rrdb_2k() -> float:
+    """BASELINE config 5: ESRGAN-scale RRDB x4 producing a 2K output.
+
+    Single chip, exact overlap-discard tiling (the multi-chip halo path is
+    exercised by dryrun_multichip). Returns megapixels(HR)/sec/chip.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tpusr.models.rrdb import RRDBNet
+
+    net = RRDBNet(scale=4)  # canonical nf64/nb23/gc32
+    lr = jnp.asarray(np.random.default_rng(0).random((1, 270, 480, 3)), jnp.float32)
+    v = net.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    fwd = jax.jit(lambda x: net.apply(v, x))
+
+    out = fwd(lr)  # 1080x1920 (2K) output
+    _sync(out)
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fwd(lr)
+    _sync(out)
+    dt = (time.perf_counter() - t0) / reps
+    mpix = out.shape[1] * out.shape[2] / 1e6
+    return mpix / dt
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
@@ -176,6 +204,10 @@ def main():
     torch_sec_per_image_1k = torch_time / base_iters * DIP_ITERS
 
     gan_mpix = bench_gan_eval_mpix()
+    try:
+        rrdb_mpix = bench_rrdb_2k()
+    except Exception as e:  # keep the headline metric alive regardless
+        rrdb_mpix = f"failed: {e}"
 
     result = {
         "metric": "dip_sec_per_image_1k_iters",
@@ -188,6 +220,8 @@ def main():
             "dip_iters_measured": dip_iters,
             "torch_cpu_sec_per_image_1k_iters": round(torch_sec_per_image_1k, 1),
             "gan_x8_eval_megapixels_per_sec_per_chip": round(gan_mpix, 2),
+            "rrdb_x4_2k_megapixels_per_sec_per_chip": (
+                round(rrdb_mpix, 2) if isinstance(rrdb_mpix, float) else rrdb_mpix),
         },
     }
     print(json.dumps(result))

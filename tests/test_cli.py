@@ -21,7 +21,8 @@ def data_dir(tmp_path_factory):
         lr_dir = root / f"DIV2K_{split}_LR_x8"
         hr_dir.mkdir()
         lr_dir.mkdir()
-        for name in ("0001",):
+        names = [f"{i:04d}" for i in range(1, 9)] if split == "train" else ["0001"]
+        for name in names:
             h, w = 256, 256
             hr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
             Image.fromarray(hr).save(hr_dir / f"{name}.png")
@@ -83,6 +84,10 @@ def test_train_and_eval_gan_cli_end_to_end(data_dir, tmp_path):
     assert any(f.endswith("_log.txt") for f in files)
     assert any("state" in f for f in files)
 
+    # discriminator .pth parity artifacts too (train_GAN.py:188)
+    assert "pre_trained_srgan_D.pth" in files
+    assert "fine_tuned_srgan_D.pth" in files
+
     eval_root = tmp_path / "evalout"
     eval_root.mkdir()
     metrics = eval_gan.run([
@@ -98,3 +103,34 @@ def test_train_and_eval_gan_cli_end_to_end(data_dir, tmp_path):
     runs = list((eval_root / "out" / "GANx8").iterdir())
     assert len(runs) == 1
     assert "0001.png" in os.listdir(runs[0] / "images")
+
+    # orbax state dir also loads for eval
+    metrics2 = eval_gan.run([
+        "--data_dir", data_dir,
+        "--out_dir", str(eval_root),
+        "--model_path", os.path.join(train_dir, "fine_tuned_state"),
+        "--num_images", "1",
+        "--factor", "8",
+        "--residual_blocks", "2",
+    ])
+    assert abs(metrics2["avg_psnr"] - metrics["avg_psnr"]) < 1e-3
+
+
+def test_train_gan_cli_data_parallel(data_dir, tmp_path):
+    """--data_parallel over the 8-device CPU mesh, end to end."""
+    from tpusr.cli import train_gan
+
+    out_root = tmp_path / "dp"
+    out_root.mkdir()
+    train_dir = train_gan.run([
+        "--data_dir", data_dir,
+        "--out_dir", str(out_root),
+        "--pre_train_epochs", "1",
+        "--fine_tune_epochs", "1",
+        "--train_log_freq", "1",
+        "--num_images", "8",
+        "--hr_patch_size", "64", "--batch_size", "8", "--residual_blocks", "2",
+        "--data_parallel", "True",
+    ])
+    files = os.listdir(train_dir)
+    assert "fine_tuned_srgan_G.pth" in files

@@ -65,6 +65,28 @@ def test_dip_deterministic_per_key():
     np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
 
 
+def _zero_lpips(a, b):
+    """Stand-in LPIPS so the NaN-availability sentinel doesn't trip the
+    NaN debugger (the sentinel is the one intentional NaN in the program)."""
+    import jax.numpy as jnp
+
+    return jnp.float32(0.0)
+
+
+def test_dip_smoke_under_nan_debugging():
+    """SURVEY §5 sanitizer row: the jitted loop is clean under jax_debug_nans."""
+    lr, hr = _make_pair(h=32, w=32)
+    cfg = TINY.__class__(**{**TINY.__dict__, "num_iter": 10, "log_freq": 5})
+    jax.config.update("jax_debug_nans", True)
+    try:
+        resolved, curves = dip_superresolve(lr, hr, jax.random.key(3), cfg,
+                                            lpips_fn=_zero_lpips)
+        assert np.all(np.isfinite(np.asarray(resolved)))
+        assert np.all(np.isfinite(np.asarray(curves["psnr"])))
+    finally:
+        jax.config.update("jax_debug_nans", False)
+
+
 def test_dip_remainder_iterations():
     cfg = TINY.__class__(**{**TINY.__dict__, "num_iter": 25, "log_freq": 10})
     lr, hr = _make_pair(h=32, w=32)

@@ -44,9 +44,12 @@ from tpusr.models.vgg19 import try_load_vgg19
 
 def train_phase(state, dataset, config: GANTrainConfig, lr, num_epoch,
                 train_log_freq, content_loss, lpips_fn, ckpt_dir=None,
-                ckpt_every=0):
+                ckpt_every=0, step_fn=None):
     """GAN_ISR_train parity (train_GAN.py:22-136)."""
     print("Starting GAN training..")
+    if step_fn is None:
+        step_fn = lambda s, lb, hb: gan_train_step(s, lb, hb, config, lr,
+                                                   content_loss)
     avg_psnrs, avg_ssims, avg_lpipss = [], [], []
     losses_D, losses_G = [], []
 
@@ -57,8 +60,7 @@ def train_phase(state, dataset, config: GANTrainConfig, lr, num_epoch,
         batches = 0
 
         for lr_b, hr_b, _ in batch_iterator(dataset, config.batch_size):
-            state, logs = gan_train_step(state, lr_b, hr_b, config, lr,
-                                         content_loss)
+            state, logs = step_fn(state, lr_b, hr_b)
             losses_D.append(float(logs["loss_D"]))
             losses_G.append(float(logs["loss_G"]))
             batches += 1
@@ -133,6 +135,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--profile_dir", type=str)
+    parser.add_argument("--data_parallel", type=str2bool, default=False,
+                        help="shard the patch batch over all devices "
+                             "(params replicated, XLA all-reduces grads)")
     return parser
 
 
@@ -184,6 +189,25 @@ def run(argv=None):
         state = load_checkpoint(args.resume, target=state)
         print(f"Resumed from {args.resume} at step {int(state.step)}")
 
+    step_factory = lambda lr: None  # default: single-device jit inside train_phase
+    if args.data_parallel:
+        from tpusr.parallel.gan_dp import make_dp_train_step
+        from tpusr.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        if config.batch_size % n_dev != 0:
+            print(f"--data_parallel requires batch_size ({config.batch_size}) "
+                  f"divisible by device count ({n_dev})")
+            sys.exit(1)
+        mesh = make_mesh({"data": n_dev})
+        print(f"Data-parallel over {n_dev} devices")
+
+        def step_factory(lr):
+            place, step = make_dp_train_step(mesh, config, lr, content_loss)
+            nonlocal state
+            state = place(state)
+            return step
+
     skip_pretrain = args.pre_trained_models_path is not None
     if skip_pretrain:
         pre_state = load_checkpoint(
@@ -196,10 +220,11 @@ def run(argv=None):
             params_D=pre_state.params_D, stats_D=pre_state.stats_D)
     else:
         print("Beginnning pre-training stage..")
+        step = step_factory(config.pre_train_lr)  # may re-place `state`
         state, train_metrics = train_phase(
             state, dataset, config, config.pre_train_lr,
             config.pre_train_epochs, args.train_log_freq, content_loss,
-            lpips_fn, out_dir, args.checkpoint_every)
+            lpips_fn, out_dir, args.checkpoint_every, step_fn=step)
         print("Done pre-training.")
         save_log(out_dir, **train_metrics)
         save_phase_models(state, "pre_trained", out_dir, config)
@@ -210,10 +235,11 @@ def run(argv=None):
             params_D=state.params_D, stats_D=state.stats_D)
 
     print("Beginning fine-tuning stage")
+    step = step_factory(config.fine_tune_lr)  # may re-place `state`
     state, train_metrics = train_phase(
         state, dataset, config, config.fine_tune_lr,
         config.fine_tune_epochs, args.train_log_freq, content_loss,
-        lpips_fn, out_dir, args.checkpoint_every)
+        lpips_fn, out_dir, args.checkpoint_every, step_fn=step)
     print("Done fine-tuning stage.")
 
     runtime = time.time() - start_time

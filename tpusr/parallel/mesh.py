@@ -13,6 +13,24 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Initialize multi-host JAX (one process per host on a pod slice).
+
+    Thin wrapper over ``jax.distributed.initialize`` — on Cloud TPU the
+    arguments are auto-detected from the metadata server, so calling with no
+    arguments is the normal path. After this, ``jax.devices()`` spans the
+    whole slice and the meshes below lay collectives over ICI within a slice
+    and DCN across slices (SURVEY.md §2.3 comm-backend row).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(axis_sizes: dict[str, int] | None = None,
               devices=None) -> Mesh:
     """Build a mesh over the available devices.
