@@ -20,6 +20,7 @@ import time
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 from tpusr.cli.common import check_num_images, str2bool, timestamp, validate_noise
 from tpusr.data.div2k import DIV2KDataset
@@ -37,8 +38,17 @@ from tpusr.models.lpips import make_lpips
 from tpusr.utils.convert import np_to_device
 
 
+def _pad_pair(lr_img, hr_img, bucket, factor):
+    hr_pad, (h, w) = pad_to_bucket(hr_img, bucket)
+    lth, ltw = hr_pad.shape[0] // factor, hr_pad.shape[1] // factor
+    lr_pad = np.pad(lr_img, ((0, lth - lr_img.shape[0]),
+                             (0, ltw - lr_img.shape[1]), (0, 0)))
+    return lr_pad, hr_pad, (h, w)
+
+
 def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
-         save_output, noise_type, downsample, seed=0, bucket=0):
+         save_output, noise_type, downsample, seed=0, bucket=0,
+         batch_images=1):
     dataset = DIV2KDataset(LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,
                            num_images=num_images, noise_type=noise_type,
                            downsample=downsample, seed=seed)
@@ -59,49 +69,87 @@ def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
     key = jax.random.key(seed)
     start_time = time.time()
 
-    for idx, (lr_img, hr_img, name) in enumerate(dataset):
-        print(f"Starting on {name} (image {idx + 1}/{n}) "
-              f"for {config.num_iter} iterations.")
-        key, k_img = jax.random.split(key)
-        lr_dev = np_to_device(lr_img)
+    def account(resolved, image_curves, lr_img, hr_img, name):
         hr_dev = np_to_device(hr_img)
-
-        t0 = time.time()
-        if bucket:
-            # one XLA program per size bucket instead of per unique shape
-            hr_pad, (h, w) = pad_to_bucket(hr_img, bucket)
-            lth, ltw = hr_pad.shape[0] // factor, hr_pad.shape[1] // factor
-            lr_pad = np.pad(lr_img, ((0, lth - lr_img.shape[0]),
-                                     (0, ltw - lr_img.shape[1]), (0, 0)))
-            resolved, image_curves = dip_superresolve_bucketed(
-                np_to_device(lr_pad), np_to_device(hr_pad),
-                np.asarray([h, w], np.int32), k_img, config, lpips_fn)
-            resolved = resolved[:, :h, :w]
-        else:
-            resolved, image_curves = dip_superresolve(lr_dev, hr_dev, k_img,
-                                                      config, lpips_fn)
-        resolved.block_until_ready()
-        print(f"Image runtime: {time.time() - t0:.2f}s")
-
         running["psnr"] += float(psnr_fn(resolved, hr_dev))
         running["ssim"] += float(ssim_fn(resolved, hr_dev, data_range=1.0))
         running["lpips"] += (float(lpips_fn(resolved, hr_dev))
                              if lpips_fn else float("nan"))
-
         curves["Average PSNR per epoch"] += np.asarray(image_curves["psnr"])
         curves["Average SSIM per epoch"] += np.asarray(image_curves["ssim"])
         curves["Average LPIPS per epoch"] += np.asarray(image_curves["lpips"])
-
         for i, (p, s) in enumerate(zip(np.asarray(image_curves["psnr"]),
                                        np.asarray(image_curves["ssim"]))):
             print(f"Iteration {i * config.log_freq + 1}/{config.num_iter}: "
                   f"PSNR: {p:.4f} SSIM: {s:.4f}")
-
         if save_output:
             print("Done.")
             save_image(to_uint8(np.asarray(resolved)), f"{name}_resolved", out_dir)
             save_image(to_uint8(lr_img), f"{name}_LR", out_dir)
             save_image(to_uint8(hr_img), f"{name}_HR", out_dir)
+
+    if batch_images > 1:
+        # vmap-batched DIP over same-bucket groups (images/chip multiplier);
+        # partial groups are padded by repeating the last image, extras dropped
+        from tpusr.engine.dip import dip_superresolve_batch_bucketed
+
+        groups: dict[tuple, list] = {}
+
+        def flush(shape_key):
+            items = groups.pop(shape_key)
+            real = len(items)
+            while len(items) < batch_images:
+                items.append(items[-1])
+            lr_b = np.stack([it[0][None] for it in items])
+            hr_b = np.stack([it[1][None] for it in items])
+            valid = np.asarray([it[2] for it in items], np.int32)
+            nonlocal key
+            key, k = jax.random.split(key)
+            keys = jax.random.split(k, batch_images)
+            t0 = time.time()
+            res_b, curves_b = dip_superresolve_batch_bucketed(
+                jnp.asarray(lr_b), jnp.asarray(hr_b), valid, keys, config,
+                lpips_fn)
+            res_b.block_until_ready()
+            print(f"Batch of {real} images runtime: {time.time() - t0:.2f}s")
+            for lane in range(real):
+                _, _, (h, w), lr_img, hr_img, name = items[lane]
+                lane_curves = {k2: np.asarray(v)[lane]
+                               for k2, v in curves_b.items()}
+                account(res_b[lane][:, :h, :w], lane_curves, lr_img, hr_img,
+                        name)
+
+        for idx, (lr_img, hr_img, name) in enumerate(dataset):
+            print(f"Queueing {name} (image {idx + 1}/{n}).")
+            lr_pad, hr_pad, (h, w) = _pad_pair(lr_img, hr_img, bucket, factor)
+            skey = hr_pad.shape
+            groups.setdefault(skey, []).append(
+                (lr_pad, hr_pad, (h, w), lr_img, hr_img, name))
+            if len(groups[skey]) == batch_images:
+                flush(skey)
+        for skey in list(groups):
+            flush(skey)
+    else:
+        for idx, (lr_img, hr_img, name) in enumerate(dataset):
+            print(f"Starting on {name} (image {idx + 1}/{n}) "
+                  f"for {config.num_iter} iterations.")
+            key, k_img = jax.random.split(key)
+
+            t0 = time.time()
+            if bucket:
+                # one XLA program per size bucket instead of per unique shape
+                lr_pad, hr_pad, (h, w) = _pad_pair(lr_img, hr_img, bucket, factor)
+                resolved, image_curves = dip_superresolve_bucketed(
+                    np_to_device(lr_pad), np_to_device(hr_pad),
+                    np.asarray([h, w], np.int32), k_img, config, lpips_fn)
+                resolved = resolved[:, :h, :w]
+            else:
+                resolved, image_curves = dip_superresolve(
+                    np_to_device(lr_img), np_to_device(hr_img), k_img,
+                    config, lpips_fn)
+            resolved.block_until_ready()
+            print(f"Image runtime: {time.time() - t0:.2f}s")
+            account(resolved, image_curves, lr_img, hr_img, name)
 
     print(f"Done for all {n} images.")
 
@@ -146,6 +194,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="pad images to multiples of this (must be a "
                              "multiple of the factor); 0 = exact shapes. "
                              "Avoids one jit compile per unique image shape")
+    parser.add_argument("--batch_images", type=int, default=1,
+                        help="optimize N images concurrently per chip "
+                             "(vmap lanes; requires --bucket)")
     parser.add_argument("--profile_dir", type=str,
                         help="emit a jax.profiler trace to this directory")
     return parser
@@ -189,13 +240,16 @@ def run(argv=None):
     if args.bucket and args.bucket % factor != 0:
         print(f"--bucket must be a multiple of the scale factor ({factor})")
         sys.exit(1)
+    if args.batch_images > 1 and not args.bucket:
+        print("--batch_images requires --bucket (lanes must share a canvas)")
+        sys.exit(1)
 
     from tpusr.utils.profiling import maybe_trace
 
     with maybe_trace(args.profile_dir):
         main(LR_dir, HR_dir, out_dir, factor, args.num_images, config,
              args.save_output, noise_type, args.downsample, args.seed,
-             bucket=args.bucket)
+             bucket=args.bucket, batch_images=args.batch_images)
 
 
 if __name__ == "__main__":

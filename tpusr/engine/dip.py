@@ -296,6 +296,19 @@ def pad_to_bucket(arr, bucket: int):
 
 
 @partial(jax.jit, static_argnames=("config", "lpips_fn"))
+def dip_superresolve_batch_bucketed(lr_images, hr_images, valid_hws, keys,
+                                    config: DIPConfig,
+                                    lpips_fn: Callable | None = None):
+    """Batched + shape-bucketed DIP: lanes share one padded canvas shape,
+    each with its own true extent (valid_hws: (N, 2) int32). The images/chip
+    multiplier for heterogeneous datasets (BASELINE config 4 at scale)."""
+    fn = lambda lr, hr, v, k: _dip_core(lr, hr, k, config, lpips_fn,
+                                        valid_hw=v)
+    return jax.vmap(fn)(lr_images, hr_images,
+                        jnp.asarray(valid_hws, jnp.int32), keys)
+
+
+@partial(jax.jit, static_argnames=("config", "lpips_fn"))
 def dip_superresolve_batch(lr_images, hr_images, keys, config: DIPConfig,
                            lpips_fn: Callable | None = None):
     """vmapped multi-image DIP — BASELINE config 4 (batched DIP).
