@@ -196,7 +196,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "Avoids one jit compile per unique image shape")
     parser.add_argument("--batch_images", type=int, default=1,
                         help="optimize N images concurrently per chip "
-                             "(vmap lanes; requires --bucket)")
+                             "(vmap lanes; requires --bucket). Measured on "
+                             "v5e: per-lane conv kernels lower to grouped "
+                             "convs that run ~2x slower per image than "
+                             "sequential single-image programs — prefer 1 "
+                             "per chip and scale across chips instead "
+                             "(tpusr.parallel.dip_batch)")
     parser.add_argument("--profile_dir", type=str,
                         help="emit a jax.profiler trace to this directory")
     return parser
