@@ -48,7 +48,7 @@ def load_generator(model_path: str, config: GANTrainConfig):
 
 
 def evaluate(params_G, stats_G, dataset, out_dir, config: GANTrainConfig,
-             save_images=True, spatial_shards: int = 1):
+             save_images=True, spatial_shards: int = 1, tiles: int = 1):
     """GAN_ISR_Batch_eval parity (eval_GAN.py:21-69)."""
     lpips_fn = make_lpips()
     running = {"psnr": 0.0, "ssim": 0.0, "lpips": 0.0}
@@ -56,6 +56,8 @@ def evaluate(params_G, stats_G, dataset, out_dir, config: GANTrainConfig,
 
     if spatial_shards > 1:
         from tpusr.parallel.spatial import sharded_generator_forward
+    if tiles > 1:
+        from tpusr.parallel.spatial import tiled_generator_forward
 
     for lr_img, hr_img, name in dataset:
         print(f"Starting on {name}.")
@@ -65,6 +67,10 @@ def evaluate(params_G, stats_G, dataset, out_dir, config: GANTrainConfig,
         if spatial_shards > 1:
             resolved = sharded_generator_forward(
                 params_G, stats_G, lr_dev, config, n_shards=spatial_shards)
+        elif tiles > 1:
+            # exact single-chip overlap-and-discard tiling for huge images
+            resolved = tiled_generator_forward(
+                params_G, stats_G, lr_dev, config, n_tiles=tiles)
         else:
             resolved = generator_forward(params_G, stats_G, lr_dev, config,
                                          train=False)
@@ -100,6 +106,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--downsample", type=str2bool, default=False)
     parser.add_argument("--spatial_shards", type=int, default=1,
                         help="shard huge images across N devices (halo exchange)")
+    parser.add_argument("--tiles", type=int, default=1,
+                        help="single-chip exact overlap-discard tiling into N "
+                             "H-tiles (for images too large for one forward)")
     parser.add_argument("--residual_blocks", type=int, default=16)
     parser.add_argument("--seed", type=int, default=0)
     return parser
@@ -136,7 +145,8 @@ def run(argv=None):
     start_time = time.time()
     eval_metrics, n = evaluate(params_G, stats_G, dataset, out_dir, config,
                                save_images=args.save_images,
-                               spatial_shards=args.spatial_shards)
+                               spatial_shards=args.spatial_shards,
+                               tiles=args.tiles)
     runtime = time.time() - start_time
 
     print(f"Done evaluating for all {n} images.")

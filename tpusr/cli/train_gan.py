@@ -96,6 +96,61 @@ def train_phase(state, dataset, config: GANTrainConfig, lr, num_epoch,
     return state, train_metrics
 
 
+def train_phase_ondevice(state, stacks, config: GANTrainConfig, lr, num_epoch,
+                         train_log_freq, content_loss, lpips_fn,
+                         ckpt_dir=None, ckpt_every=0):
+    """GAN_ISR_train parity, executed as on-device epoch chunks.
+
+    One dispatch per log-cadence chunk (metrics collected in the chunk's
+    first epoch == the reference's epoch % log_freq == 0 logging points).
+    """
+    import jax.numpy as jnp
+
+    from tpusr.engine.gan_epochs import gan_train_epochs
+
+    print("Starting GAN training..")
+    lr_u8, hr_u8, valid = stacks
+    lr_u8 = jnp.asarray(lr_u8)
+    hr_u8 = jnp.asarray(hr_u8)
+    valid = jnp.asarray(valid)
+
+    key = jax.random.fold_in(jax.random.key(0), int(state.step))
+    avg_psnrs, avg_ssims, avg_lpipss = [], [], []
+    last_d = last_g = float("nan")
+
+    done = 0
+    while done < num_epoch:
+        chunk = min(train_log_freq, num_epoch - done)
+        key, k = jax.random.split(key)
+        start_time = time.time()
+        state, logs = gan_train_epochs(
+            state, lr_u8, hr_u8, valid, k, config, lr,
+            content_loss=content_loss, n_epochs=chunk, lpips_fn=lpips_fn)
+        losses_D = np.asarray(logs["losses_D"])
+        losses_G = np.asarray(logs["losses_G"])
+        last_d = float(losses_D[-1, -1])
+        last_g = float(losses_G[-1, -1])
+        avg_psnrs.append(float(logs["psnr"]))
+        avg_ssims.append(float(logs["ssim"]))
+        avg_lpipss.append(float(logs["lpips"]))
+        print(f"Epoch {done + 1}/{num_epoch}:")
+        print(f"Discriminator loss: {losses_D[0, -1]:.4f}")
+        print(f"Generator loss: {losses_G[0, -1]:.4f}")
+        print(f"Chunk of {chunk} epochs run time: {time.time() - start_time:.2f}s")
+        done += chunk
+        if ckpt_dir and ckpt_every and done % max(ckpt_every, 1) < chunk:
+            save_checkpoint(os.path.join(ckpt_dir, f"ckpt_epoch{done}"), state)
+
+    train_metrics = {
+        "Average PSNR during training": avg_psnrs,
+        "Average SSIM during training": avg_ssims,
+        "Average LPIPS during training": avg_lpipss,
+        "Final Generator loss": last_g,
+        "Final Discriminator loss": last_d,
+    }
+    return state, train_metrics
+
+
 def save_phase_models(state, prefix, out_dir, config):
     save_checkpoint(os.path.join(out_dir, f"{prefix}_state"), state)
     n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[config.factor]
@@ -138,6 +193,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_parallel", type=str2bool, default=False,
                         help="shard the patch batch over all devices "
                              "(params replicated, XLA all-reduces grads)")
+    parser.add_argument("--host_loop", type=str2bool, default=False,
+                        help="use the per-step host loop (reference-style) "
+                             "instead of the on-device epoch trainer")
     return parser
 
 
@@ -189,9 +247,8 @@ def run(argv=None):
         state = load_checkpoint(args.resume, target=state)
         print(f"Resumed from {args.resume} at step {int(state.step)}")
 
-    step_factory = lambda lr: None  # default: single-device jit inside train_phase
+    mesh = None
     if args.data_parallel:
-        from tpusr.parallel.gan_dp import make_dp_train_step
         from tpusr.parallel.mesh import make_mesh
 
         n_dev = len(jax.devices())
@@ -201,12 +258,6 @@ def run(argv=None):
             sys.exit(1)
         mesh = make_mesh({"data": n_dev})
         print(f"Data-parallel over {n_dev} devices")
-
-        def step_factory(lr):
-            place, step = make_dp_train_step(mesh, config, lr, content_loss)
-            nonlocal state
-            state = place(state)
-            return step
 
     skip_pretrain = args.pre_trained_models_path is not None
     if skip_pretrain:
@@ -218,13 +269,37 @@ def run(argv=None):
             key, config, config.fine_tune_lr,
             params_G=pre_state.params_G, stats_G=pre_state.stats_G,
             params_D=pre_state.params_D, stats_D=pre_state.stats_D)
+    # on-device epoch trainer (default): whole log-chunks of epochs per
+    # dispatch, patches cropped on chip (engine/gan_epochs.py)
+    on_device = not (args.host_loop or args.data_parallel)
+    stacks = None
+    if on_device:
+        from tpusr.engine.gan_epochs import stack_dataset_for_device
+
+        stacks = stack_dataset_for_device(dataset, config.batch_size)
+
+    def run_phase(state, lr, epochs):
+        if on_device:
+            return train_phase_ondevice(
+                state, stacks, config, lr, epochs, args.train_log_freq,
+                content_loss, lpips_fn, out_dir, args.checkpoint_every)
+        step_fn = None
+        if mesh is not None:
+            from tpusr.parallel.gan_dp import make_dp_train_step
+
+            place, step_fn = make_dp_train_step(mesh, config, lr, content_loss)
+            state = place(state)
+        return train_phase(
+            state, dataset, config, lr, epochs, args.train_log_freq,
+            content_loss, lpips_fn, out_dir, args.checkpoint_every,
+            step_fn=step_fn)
+
+    if skip_pretrain:
+        pass
     else:
         print("Beginnning pre-training stage..")
-        step = step_factory(config.pre_train_lr)  # may re-place `state`
-        state, train_metrics = train_phase(
-            state, dataset, config, config.pre_train_lr,
-            config.pre_train_epochs, args.train_log_freq, content_loss,
-            lpips_fn, out_dir, args.checkpoint_every, step_fn=step)
+        state, train_metrics = run_phase(state, config.pre_train_lr,
+                                         config.pre_train_epochs)
         print("Done pre-training.")
         save_log(out_dir, **train_metrics)
         save_phase_models(state, "pre_trained", out_dir, config)
@@ -235,11 +310,8 @@ def run(argv=None):
             params_D=state.params_D, stats_D=state.stats_D)
 
     print("Beginning fine-tuning stage")
-    step = step_factory(config.fine_tune_lr)  # may re-place `state`
-    state, train_metrics = train_phase(
-        state, dataset, config, config.fine_tune_lr,
-        config.fine_tune_epochs, args.train_log_freq, content_loss,
-        lpips_fn, out_dir, args.checkpoint_every, step_fn=step)
+    state, train_metrics = run_phase(state, config.fine_tune_lr,
+                                     config.fine_tune_epochs)
     print("Done fine-tuning stage.")
 
     runtime = time.time() - start_time

@@ -174,6 +174,12 @@ class GANDIV2KDataset(DIV2KDataset):
             lr, hr = self.get_train_patches(lr, hr, rng)
         return lr, hr, name
 
+    def base_pair(self, idx):
+        """Full (uncropped, unscaled) [0,1] pair — feed for the on-device
+        patch pipeline (engine/gan_epochs.py)."""
+        rng = np.random.default_rng((self.config.seed, idx))
+        return get_image_pair(self.config, self.HR_images[idx], rng)
+
 
 def batch_iterator(dataset, batch_size: int, drop_last: bool = False):
     """Minimal batching loader (reference DataLoader defaults: shuffle=False,

@@ -95,14 +95,13 @@ def create_gan_state(
     )
 
 
-@partial(jax.jit, static_argnames=("config", "learning_rate", "content_loss"))
-def gan_train_step(
+def _train_step_core(
     state: GANTrainState,
     lr_patches: jnp.ndarray,
     hr_patches: jnp.ndarray,
     config: GANTrainConfig,
-    learning_rate: float,
-    content_loss: Callable = L.mse,
+    tx,
+    content_loss: Callable,
 ):
     """One adversarial step (do_epoch parity, train_GAN.py:38-71).
 
@@ -110,7 +109,6 @@ def gan_train_step(
     Returns (new_state, {'loss_D', 'loss_G'}).
     """
     g, d = _models(config)
-    tx = optax.adam(learning_rate)
 
     def g_apply(p, st, x, train=True):
         out, upd = g.apply({"params": p, "batch_stats": st}, x, train,
@@ -159,6 +157,21 @@ def gan_train_step(
         step=state.step + 1,
     )
     return new_state, {"loss_D": loss_D, "loss_G": loss_G}
+
+
+@partial(jax.jit, static_argnames=("config", "learning_rate", "content_loss"))
+def gan_train_step(
+    state: GANTrainState,
+    lr_patches: jnp.ndarray,
+    hr_patches: jnp.ndarray,
+    config: GANTrainConfig,
+    learning_rate: float,
+    content_loss: Callable = L.mse,
+):
+    """Single dispatched adversarial step (see _train_step_core)."""
+    tx = optax.adam(learning_rate)
+    return _train_step_core(state, lr_patches, hr_patches, config, tx,
+                            content_loss)
 
 
 @partial(jax.jit, static_argnames=("config", "train"))
