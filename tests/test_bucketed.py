@@ -44,6 +44,39 @@ def test_pad_to_bucket():
     assert p[50:].sum() == 0
 
 
+def test_scan_bucketed_matches_single_runs():
+    """lax.map grouped DIP == per-image bucketed runs with the same keys."""
+    from tpusr.engine.dip import dip_superresolve_scan_bucketed
+
+    f = TINY.factor
+    lrs, hrs, valids = [], [], []
+    for seed, (h, w) in enumerate([(40, 44), (36, 48)]):
+        lr, hr = _make_pair(h=h, w=w, factor=f, seed=seed)
+        hr_pad, (th, tw) = pad_to_bucket(np.asarray(hr)[0], 16)
+        lr_np = np.asarray(lr)[0]
+        lth, ltw = hr_pad.shape[0] // f, hr_pad.shape[1] // f
+        lr_pad = np.pad(lr_np, ((0, lth - lr_np.shape[0]),
+                                (0, ltw - lr_np.shape[1]), (0, 0)))
+        lrs.append(lr_pad)
+        hrs.append(hr_pad)
+        valids.append((th, tw))
+    lr_b = jnp.asarray(np.stack(lrs))[:, None]
+    hr_b = jnp.asarray(np.stack(hrs))[:, None]
+    valid = np.asarray(valids, np.int32)
+    keys = jax.random.split(jax.random.key(5), 2)
+
+    res_b, curves_b = dip_superresolve_scan_bucketed(
+        lr_b, hr_b, valid, keys, TINY)
+
+    for i in range(2):
+        r1, c1 = dip_superresolve_bucketed(
+            lr_b[i], hr_b[i], valid[i], keys[i], TINY)
+        np.testing.assert_allclose(np.asarray(res_b[i]), np.asarray(r1),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(curves_b["psnr"])[i],
+                                   np.asarray(c1["psnr"]), atol=1e-3)
+
+
 def test_bucketed_dip_one_compile_two_shapes():
     """Two images of different true sizes share one padded program."""
     f = TINY.factor

@@ -89,9 +89,11 @@ def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
             save_image(to_uint8(hr_img), f"{name}_HR", out_dir)
 
     if batch_images > 1:
-        # vmap-batched DIP over same-bucket groups (images/chip multiplier);
-        # partial groups are padded by repeating the last image, extras dropped
-        from tpusr.engine.dip import dip_superresolve_batch_bucketed
+        # grouped DIP over same-bucket images: ONE dispatch per group,
+        # sequential on-device execution (lax.map — measured faster per
+        # image than vmap lanes on TPU, DESIGN.md); partial groups are
+        # padded by repeating the last image, extras dropped
+        from tpusr.engine.dip import dip_superresolve_scan_bucketed
 
         groups: dict[tuple, list] = {}
 
@@ -107,7 +109,7 @@ def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
             key, k = jax.random.split(key)
             keys = jax.random.split(k, batch_images)
             t0 = time.time()
-            res_b, curves_b = dip_superresolve_batch_bucketed(
+            res_b, curves_b = dip_superresolve_scan_bucketed(
                 jnp.asarray(lr_b), jnp.asarray(hr_b), valid, keys, config,
                 lpips_fn)
             res_b.block_until_ready()
@@ -195,13 +197,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "multiple of the factor); 0 = exact shapes. "
                              "Avoids one jit compile per unique image shape")
     parser.add_argument("--batch_images", type=int, default=1,
-                        help="optimize N images concurrently per chip "
-                             "(vmap lanes; requires --bucket). Measured on "
-                             "v5e: per-lane conv kernels lower to grouped "
-                             "convs that run ~2x slower per image than "
-                             "sequential single-image programs — prefer 1 "
-                             "per chip and scale across chips instead "
-                             "(tpusr.parallel.dip_batch)")
+                        help="process N same-bucket images per dispatch "
+                             "(sequential on-device lax.map; requires "
+                             "--bucket). Amortizes per-dispatch overhead "
+                             "without the grouped-conv vmap penalty")
     parser.add_argument("--profile_dir", type=str,
                         help="emit a jax.profiler trace to this directory")
     return parser

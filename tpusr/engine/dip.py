@@ -299,13 +299,34 @@ def pad_to_bucket(arr, bucket: int):
 def dip_superresolve_batch_bucketed(lr_images, hr_images, valid_hws, keys,
                                     config: DIPConfig,
                                     lpips_fn: Callable | None = None):
-    """Batched + shape-bucketed DIP: lanes share one padded canvas shape,
-    each with its own true extent (valid_hws: (N, 2) int32). The images/chip
-    multiplier for heterogeneous datasets (BASELINE config 4 at scale)."""
+    """vmap-batched + shape-bucketed DIP (concurrent lanes).
+
+    Measured on v5e (DESIGN.md): per-lane conv kernels lower to grouped
+    convolutions that run ~2x slower per image than plain convs — on a
+    single chip prefer ``dip_superresolve_scan_bucketed``; this form is the
+    per-device body of the multi-chip shard_map path (1 lane/device keeps
+    the convs plain).
+    """
     fn = lambda lr, hr, v, k: _dip_core(lr, hr, k, config, lpips_fn,
                                         valid_hw=v)
     return jax.vmap(fn)(lr_images, hr_images,
                         jnp.asarray(valid_hws, jnp.int32), keys)
+
+
+@partial(jax.jit, static_argnames=("config", "lpips_fn"))
+def dip_superresolve_scan_bucketed(lr_images, hr_images, valid_hws, keys,
+                                   config: DIPConfig,
+                                   lpips_fn: Callable | None = None):
+    """Sequential-on-device multi-image DIP: one dispatch, one compiled
+    program, images optimized back to back via ``lax.map`` (scan) — plain
+    convs at full speed, and the per-dispatch overhead of remote/tunneled
+    deployments is paid once per group instead of once per image."""
+    def fn(args):
+        lr, hr, v, k = args
+        return _dip_core(lr, hr, k, config, lpips_fn, valid_hw=v)
+
+    return jax.lax.map(
+        fn, (lr_images, hr_images, jnp.asarray(valid_hws, jnp.int32), keys))
 
 
 @partial(jax.jit, static_argnames=("config", "lpips_fn"))
