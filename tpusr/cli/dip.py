@@ -84,7 +84,11 @@ def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
                   f"PSNR: {p:.4f} SSIM: {s:.4f}")
         if save_output:
             print("Done.")
-            save_image(to_uint8(np.asarray(resolved)), f"{name}_resolved", out_dir)
+            # quantize on device: the PNG download ships 1 byte/channel
+            res_u8 = np.asarray(jnp.clip(jnp.round(resolved * 255.0),
+                                         0, 255).astype(jnp.uint8))
+            save_image(res_u8[0] if res_u8.ndim == 4 else res_u8,
+                       f"{name}_resolved", out_dir)
             save_image(to_uint8(lr_img), f"{name}_LR", out_dir)
             save_image(to_uint8(hr_img), f"{name}_HR", out_dir)
 
@@ -123,7 +127,9 @@ def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
 
         for idx, (lr_img, hr_img, name) in enumerate(dataset):
             print(f"Queueing {name} (image {idx + 1}/{n}).")
-            lr_pad, hr_pad, (h, w) = _pad_pair(lr_img, hr_img, bucket, factor)
+            lr_u8 = np.round(lr_img * 255.0).astype(np.uint8)
+            hr_u8 = np.round(hr_img * 255.0).astype(np.uint8)
+            lr_pad, hr_pad, (h, w) = _pad_pair(lr_u8, hr_u8, bucket, factor)
             skey = hr_pad.shape
             groups.setdefault(skey, []).append(
                 (lr_pad, hr_pad, (h, w), lr_img, hr_img, name))
@@ -138,17 +144,19 @@ def main(LR_dir, HR_dir, out_dir, factor, num_images, config: DIPConfig,
             key, k_img = jax.random.split(key)
 
             t0 = time.time()
+            lr_u8 = np.round(lr_img * 255.0).astype(np.uint8)
+            hr_u8 = np.round(hr_img * 255.0).astype(np.uint8)
             if bucket:
                 # one XLA program per size bucket instead of per unique shape
-                lr_pad, hr_pad, (h, w) = _pad_pair(lr_img, hr_img, bucket, factor)
+                lr_pad, hr_pad, (h, w) = _pad_pair(lr_u8, hr_u8, bucket, factor)
                 resolved, image_curves = dip_superresolve_bucketed(
-                    np_to_device(lr_pad), np_to_device(hr_pad),
+                    np_to_device(lr_pad, None), np_to_device(hr_pad, None),
                     np.asarray([h, w], np.int32), k_img, config, lpips_fn)
                 resolved = resolved[:, :h, :w]
             else:
                 resolved, image_curves = dip_superresolve(
-                    np_to_device(lr_img), np_to_device(hr_img), k_img,
-                    config, lpips_fn)
+                    np_to_device(lr_u8, None), np_to_device(hr_u8, None),
+                    k_img, config, lpips_fn)
             resolved.block_until_ready()
             print(f"Image runtime: {time.time() - t0:.2f}s")
             account(resolved, image_curves, lr_img, hr_img, name)

@@ -102,6 +102,12 @@ def _dip_core(
       curves: dict of 'psnr'/'ssim'/'lpips' arrays of length num_iter//log_freq
     """
     net, downsampler = _build(config)
+    # uint8 inputs are accepted and normalized on device — hosts (and slow
+    # links) ship 1 byte/channel instead of 4
+    if lr_image.dtype == jnp.uint8:
+        lr_image = lr_image.astype(jnp.float32) / 255.0
+    if hr_image.dtype == jnp.uint8:
+        hr_image = hr_image.astype(jnp.float32) / 255.0
     h, w = hr_image.shape[1], hr_image.shape[2]
 
     k_init, k_input, k_reg = jax.random.split(key, 3)

@@ -19,8 +19,11 @@ def chw_to_hwc(x: np.ndarray) -> np.ndarray:
 
 
 def np_to_device(x: np.ndarray, dtype=jnp.float32) -> jnp.ndarray:
-    """Host HWC/NHWC float array -> device array (adds batch dim if absent)."""
-    arr = jnp.asarray(x, dtype)
+    """Host HWC/NHWC array -> device array (adds batch dim if absent).
+
+    dtype=None keeps the input dtype (e.g. uint8 payloads that engines
+    normalize on device — 4x less host->device traffic)."""
+    arr = jnp.asarray(x) if dtype is None else jnp.asarray(x, dtype)
     if arr.ndim == 3:
         arr = arr[None]
     return arr
