@@ -125,7 +125,9 @@ def test_dip_quality_matches_torch_reference_loop():
     theirs = [_torch_dip_psnr(hr, seed) for seed in (0, 1)]
 
     ours_m, theirs_m = np.mean(ours), np.mean(theirs)
-    # both must actually reconstruct, and land in the same quality regime
-    assert ours_m > 20, f"tpusr DIP underperforms: {ours}"
-    assert theirs_m > 20, f"torch oracle underperforms: {theirs}"
-    assert abs(ours_m - theirs_m) < 2.5, (ours, theirs)
+    # both must actually reconstruct, and land in the same quality regime.
+    # Measured over 4 seeds each: tpusr 30.45 +/- 0.43 dB, torch oracle
+    # 30.97 +/- 0.65 dB — a 0.5 dB gap inside seed noise.
+    assert ours_m > 25, f"tpusr DIP underperforms: {ours}"
+    assert theirs_m > 25, f"torch oracle underperforms: {theirs}"
+    assert abs(ours_m - theirs_m) < 1.8, (ours, theirs)
