@@ -18,7 +18,9 @@ def test_masked_metrics_equal_unmasked_on_exact_fit():
     a = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
     b = jnp.asarray(rng.random((1, 32, 32, 3)), jnp.float32)
     v = jnp.asarray([32, 32])
-    assert abs(float(psnr_masked(a, b, v)) - float(psnr(a, b, 1.0))) < 1e-4
+    assert abs(float(psnr_masked(a, b, v, 1.0)) - float(psnr(a, b, 1.0))) < 1e-4
+    # default: data_range inferred from the valid target region (torchmetrics)
+    assert abs(float(psnr_masked(a, b, v)) - float(psnr(a, b))) < 1e-4
     assert abs(float(ssim_masked(a, b, v)) - float(ssim(a, b))) < 1e-5
 
 
@@ -31,7 +33,7 @@ def test_masked_metrics_ignore_padding():
     # corrupt the padded region of one input — metrics must not care
     ap[:, 32:, :, :] = 0.789
     v = jnp.asarray([32, 32])
-    assert abs(float(psnr_masked(jnp.asarray(ap), jnp.asarray(bp), v))
+    assert abs(float(psnr_masked(jnp.asarray(ap), jnp.asarray(bp), v, 1.0))
                - float(psnr(jnp.asarray(a), jnp.asarray(b), 1.0))) < 1e-4
 
 

@@ -98,7 +98,7 @@ def train_phase(state, dataset, config: GANTrainConfig, lr, num_epoch,
 
 def train_phase_ondevice(state, stacks, config: GANTrainConfig, lr, num_epoch,
                          train_log_freq, content_loss, lpips_fn,
-                         ckpt_dir=None, ckpt_every=0):
+                         ckpt_dir=None, ckpt_every=0, key=None):
     """GAN_ISR_train parity, executed as on-device epoch chunks.
 
     One dispatch per log-cadence chunk (metrics collected in the chunk's
@@ -114,7 +114,8 @@ def train_phase_ondevice(state, stacks, config: GANTrainConfig, lr, num_epoch,
     hr_u8 = jnp.asarray(hr_u8)
     valid = jnp.asarray(valid)
 
-    key = jax.random.fold_in(jax.random.key(0), int(state.step))
+    if key is None:
+        key = jax.random.key(0)
     avg_psnrs, avg_ssims, avg_lpipss = [], [], []
     last_d = last_g = float("nan")
 
@@ -196,6 +197,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--host_loop", type=str2bool, default=False,
                         help="use the per-step host loop (reference-style) "
                              "instead of the on-device epoch trainer")
+    parser.add_argument("--legacy_scale", type=str2bool, default=False,
+                        help="reproduce the reference's double-/255 image "
+                             "scaling bug (dataset.py:151-157)")
     return parser
 
 
@@ -237,7 +241,8 @@ def run(argv=None):
     dataset = GANDIV2KDataset(
         LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,
         num_images=args.num_images, LR_patch_size=(lr_patch, lr_patch),
-        downsample=args.downsample, train=True, seed=args.seed)
+        downsample=args.downsample, train=True, seed=args.seed,
+        legacy_scale=args.legacy_scale)
 
     key = jax.random.key(args.seed)
     start_time = time.time()
@@ -271,18 +276,36 @@ def run(argv=None):
             params_D=pre_state.params_D, stats_D=pre_state.stats_D)
     # on-device epoch trainer (default): whole log-chunks of epochs per
     # dispatch, patches cropped on chip (engine/gan_epochs.py)
-    on_device = not (args.host_loop or args.data_parallel)
+    # legacy_scale parity runs use the host loop (the on-device cropper
+    # bakes in the fixed scaling)
+    on_device = not (args.host_loop or args.data_parallel or args.legacy_scale)
     stacks = None
     if on_device:
         from tpusr.engine.gan_epochs import stack_dataset_for_device
 
         stacks = stack_dataset_for_device(dataset, config.batch_size)
+        # the reference raises on images smaller than the patch
+        # (np.random.randint low >= high, dataset.py:128); mirror it loudly
+        # instead of silently cropping into padding
+        too_small = (stacks[2] < lr_patch).any(axis=1)
+        if too_small.any():
+            print(f"{int(too_small.sum())} image(s) smaller than the "
+                  f"{lr_patch}x{lr_patch} LR patch; reduce --hr_patch_size")
+            sys.exit(1)
+
+    phase_counter = [0]
 
     def run_phase(state, lr, epochs):
+        phase_counter[0] += 1
         if on_device:
+            # distinct crop streams per (seed, phase); the host-loop path
+            # gets its per-epoch seeding from dataset.set_epoch instead
+            phase_key = jax.random.fold_in(jax.random.key(args.seed),
+                                           phase_counter[0])
             return train_phase_ondevice(
                 state, stacks, config, lr, epochs, args.train_log_freq,
-                content_loss, lpips_fn, out_dir, args.checkpoint_every)
+                content_loss, lpips_fn, out_dir, args.checkpoint_every,
+                key=phase_key)
         step_fn = None
         if mesh is not None:
             from tpusr.parallel.gan_dp import make_dp_train_step

@@ -135,11 +135,12 @@ class GANDIV2KDataset(DIV2KDataset):
 
     def __init__(self, LR_dir, scale_factor, downsample=False, noise_type=None,
                  num_images=-1, HR_dir=None, LR_patch_size=None, train=False,
-                 seed=0):
+                 seed=0, legacy_scale=False):
         super().__init__(LR_dir, scale_factor, downsample, noise_type,
                          num_images, HR_dir, seed)
         self.LR_patch_size = LR_patch_size
         self.train = train
+        self.legacy_scale = legacy_scale
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -148,8 +149,17 @@ class GANDIV2KDataset(DIV2KDataset):
         self._epoch = epoch
 
     @staticmethod
-    def scale_images(lr, hr):
-        """LR -> [0,1] (already), HR -> [-1,1] (dataset.py:149-159)."""
+    def scale_images(lr, hr, legacy_scale: bool = False):
+        """LR stays [0,1], HR -> [-1,1] — the *intended* SRGAN scaling.
+
+        The reference's scale_images (dataset.py:149-159) divides the
+        ToTensor output — ALREADY in [0,1] — by 255 again, so its GAN
+        actually trains on LR in [0, 1/255] and HR ~= -1 everywhere.
+        Default here is the intended semantics; ``legacy_scale=True``
+        reproduces the reference bug for parity runs (SURVEY §7 catalog).
+        """
+        if legacy_scale:
+            return lr / 255.0, (hr / 255.0) * 2.0 - 1.0
         return lr, hr * 2.0 - 1.0
 
     def get_train_patches(self, lr, hr, rng):
@@ -169,7 +179,7 @@ class GANDIV2KDataset(DIV2KDataset):
     def __getitem__(self, idx):
         rng = np.random.default_rng((self.config.seed, self._epoch, idx))
         lr, hr, name = get_image_pair(self.config, self.HR_images[idx], rng)
-        lr, hr = self.scale_images(lr, hr)
+        lr, hr = self.scale_images(lr, hr, self.legacy_scale)
         if self.train:
             lr, hr = self.get_train_patches(lr, hr, rng)
         return lr, hr, name

@@ -18,7 +18,10 @@ Faithful semantics:
   * Adam(lr) over net params only (DIP.py:98, 'net' opt_over)
   * metrics on the current HR estimate every log_freq iters, starting at 0
     (DIP.py:71-87)
-  * final image = net(z) with the un-noised input (DIP.py:102)
+  * final image = net(net_input) with the LAST reg-noise draw still applied
+    (DIP.py:51-52 reassignment + :102); metrics curves use the clean z
+    forward (small documented divergence from the reference's noisy
+    in-closure metrics)
 """
 
 from __future__ import annotations
@@ -165,13 +168,16 @@ def _dip_core(
 
     def make_sgd_iter(tx):
         def sgd_iter(carry, k):
-            t, st, opt = carry
+            t, st, opt, _ = carry
             noise = jax.random.normal(k, z.shape, z.dtype) * config.reg_noise_std
             (loss, st), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 t, st, noise)
             updates, opt = tx.update(grads, opt, t)
             t = optax.apply_updates(t, updates)
-            return (t, st, opt), loss
+            # the last drawn perturbation is carried: the reference resolves
+            # the final image with net_input still holding the last noisy
+            # draw (DIP.py:51-52 reassignment + :102)
+            return (t, st, opt, noise), loss
         return sgd_iter
 
     def metrics_of(t, st):
@@ -199,30 +205,30 @@ def _dip_core(
     k_reg, k_rem = jax.random.split(k_reg)
     reg_keys = jax.random.split(k_reg, (n_chunks, chunk_len))
 
+    last_noise = jnp.zeros_like(z)
     if config.optimizer == "adam":
         tx = optax.adam(config.learning_rate)  # torch Adam defaults == optax
         step = make_sgd_iter(tx)
-        carry = (trainable, stats, tx.init(trainable))
+        carry = (trainable, stats, tx.init(trainable), last_noise)
 
         def chunk(carry, keys):
-            t, st, opt = carry
             # metrics at the chunk head == iter % log_freq == 0 (DIP.py:71)
-            m = metrics_of(t, st)
-            (t, st, opt), losses = jax.lax.scan(step, (t, st, opt), keys)
-            return (t, st, opt), (m, losses[-1])
+            m = metrics_of(carry[0], carry[1])
+            carry, losses = jax.lax.scan(step, carry, keys)
+            return carry, (m, losses[-1])
 
         carry, ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
             chunk, carry, reg_keys)
         if remainder > 0:
             carry, _ = jax.lax.scan(step, carry,
                                     jax.random.split(k_rem, remainder))
-        trainable, stats, _ = carry
+        trainable, stats, _, last_noise = carry
     elif config.optimizer == "lbfgs":
         # utils/DIP.py:19-31: 100 Adam warmup steps at lr 1e-3, then LBFGS.
         warm_tx = optax.adam(0.001)
         warm = make_sgd_iter(warm_tx)
-        (trainable, stats, _), _ = jax.lax.scan(
-            warm, (trainable, stats, warm_tx.init(trainable)),
+        (trainable, stats, _, _), _ = jax.lax.scan(
+            warm, (trainable, stats, warm_tx.init(trainable), last_noise),
             jax.random.split(k_rem, 100))
 
         # LBFGS stage: deterministic objective (reg noise frozen at 0 —
@@ -248,13 +254,19 @@ def _dip_core(
                                             length=chunk_len)
             return (t, opt), (m, losses[-1])
 
-        (trainable, _), ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
+        (trainable, lopt), ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
             lchunk, (trainable, tx.init(trainable)), None, length=n_chunks)
+        if remainder > 0:
+            (trainable, lopt), _ = jax.lax.scan(
+                lbfgs_iter, (trainable, lopt), None, length=remainder)
     else:
         raise ValueError(f"unknown optimizer {config.optimizer!r}")
 
+    # reference parity: the final image is net(net_input) with net_input
+    # still holding the LAST reg-noise-perturbed draw (DIP.py:102)
     resolved, _ = net.apply({"params": trainable["net"], "batch_stats": stats},
-                            z_of(trainable), True, mutable=["batch_stats"])
+                            z_of(trainable) + last_noise, True,
+                            mutable=["batch_stats"])
     curves = {"psnr": psnrs, "ssim": ssims, "lpips": lpipss, "loss": losses}
     return resolved, curves
 

@@ -31,19 +31,26 @@ def _valid_mask(shape_hw, valid_hw, dtype=jnp.float32) -> jnp.ndarray:
     return (rows & cols).astype(dtype)[..., None]
 
 
-def psnr_masked(pred, target, valid_hw, data_range: float = 1.0) -> jnp.ndarray:
+def psnr_masked(pred, target, valid_hw, data_range: float | None = None) -> jnp.ndarray:
     """PSNR over the valid top-left region of padded NHWC images.
 
     Used by the shape-bucketed DIP path: shapes are static (bucketed), the
     valid extent is a traced value, so one compile serves every image in the
-    bucket.
+    bucket. data_range=None infers max-min over the VALID region of the
+    target, matching torchmetrics' default (and the non-bucketed psnr).
     """
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     m = _valid_mask(pred.shape[1:3], valid_hw)
+    if data_range is None:
+        tmax = jnp.max(jnp.where(m > 0, target, -jnp.inf))
+        tmin = jnp.min(jnp.where(m > 0, target, jnp.inf))
+        dr = tmax - tmin
+    else:
+        dr = jnp.asarray(data_range, jnp.float32)
     n = jnp.maximum(jnp.sum(m), 1.0) * pred.shape[0] * pred.shape[-1]
     mse = jnp.sum(((pred - target) ** 2) * m) / n
-    return 10.0 * jnp.log10(data_range * data_range / mse)
+    return 10.0 * jnp.log10(dr * dr / mse)
 
 
 def ssim_masked(pred, target, valid_hw, data_range: float = 1.0,

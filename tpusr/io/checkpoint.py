@@ -65,6 +65,18 @@ def load_torch_state_dict(path: str) -> dict:
     return {k: np.asarray(v) for k, v in _strip_ddp(sd).items()}
 
 
+def disc_feature_hw(n: int) -> int:
+    """Spatial size of the discriminator's final feature map for input n.
+
+    Stem is stride 1; the four stride-2 k3 pad-1 convs each map
+    n -> floor((n-1)/2)+1 = ceil(n/2). NOT n//16 — for n=200 the pyramid is
+    200->100->50->25->13.
+    """
+    for _ in range(4):
+        n = (n + 1) // 2
+    return n
+
+
 def _conv_in(sd, key):
     return {
         "kernel": jnp.asarray(sd[f"{key}.weight"].transpose(2, 3, 1, 0)),
@@ -139,7 +151,7 @@ def import_torch_discriminator(sd: dict, hr_patch: int = 192):
         params[f"block{i}_bn"] = bn_p
         stats[f"block{i}_bn"] = bn_s
 
-    h = w = hr_patch // 16  # stem s1 + strides 2,1,2,1,2,1,2
+    h = w = disc_feature_hw(hr_patch)
     c = 512
     w1 = sd["dense1.weight"]  # (1024, C*H*W) in C,H,W order
     w1 = w1.reshape(1024, c, h, w).transpose(0, 2, 3, 1).reshape(1024, h * w * c)
@@ -160,6 +172,20 @@ def _conv_out(tree) -> dict:
     }
 
 
+def _put_conv(sd: dict, tkey: str, tree) -> None:
+    c = _conv_out(tree["Conv_0"])
+    sd[f"{tkey}.weight"] = c["weight"]
+    sd[f"{tkey}.bias"] = c["bias"]
+
+
+def _put_bn(sd: dict, tkey: str, p, s) -> None:
+    sd[f"{tkey}.weight"] = np.asarray(p["scale"])
+    sd[f"{tkey}.bias"] = np.asarray(p["bias"])
+    sd[f"{tkey}.running_mean"] = np.asarray(s["mean"])
+    sd[f"{tkey}.running_var"] = np.asarray(s["var"])
+    sd[f"{tkey}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
 def export_torch_generator(params: dict, stats: dict,
                            residual_blocks_count: int = 16,
                            n_shuffles: int = 3) -> dict:
@@ -169,35 +195,22 @@ def export_torch_generator(params: dict, stats: dict,
     reference's load_model accepts.
     """
     sd: dict[str, np.ndarray] = {}
-
-    def put_conv(tkey, tree):
-        c = _conv_out(tree["Conv_0"])
-        sd[f"{tkey}.weight"] = c["weight"]
-        sd[f"{tkey}.bias"] = c["bias"]
-
-    def put_bn(tkey, p, s):
-        sd[f"{tkey}.weight"] = np.asarray(p["scale"])
-        sd[f"{tkey}.bias"] = np.asarray(p["bias"])
-        sd[f"{tkey}.running_mean"] = np.asarray(s["mean"])
-        sd[f"{tkey}.running_var"] = np.asarray(s["var"])
-        sd[f"{tkey}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
-
-    put_conv("conv1", params["conv1"])
+    _put_conv(sd, "conv1", params["conv1"])
     sd["prelu1.weight"] = np.asarray(params["prelu1"]["alpha"])
     for i in range(residual_blocks_count):
         base = f"residual_blocks.{i}"
-        put_conv(f"{base}.conv1", params[f"res{i}"]["conv1"])
-        put_bn(f"{base}.bn1", params[f"res{i}"]["bn1"], stats[f"res{i}"]["bn1"])
+        _put_conv(sd, f"{base}.conv1", params[f"res{i}"]["conv1"])
+        _put_bn(sd, f"{base}.bn1", params[f"res{i}"]["bn1"], stats[f"res{i}"]["bn1"])
         sd[f"{base}.prelu1.weight"] = np.asarray(params[f"res{i}"]["prelu1"]["alpha"])
-        put_conv(f"{base}.conv2", params[f"res{i}"]["conv2"])
-        put_bn(f"{base}.bn2", params[f"res{i}"]["bn2"], stats[f"res{i}"]["bn2"])
-    put_conv("conv2", params["conv2"])
-    put_bn("bn1", params["bn1"], stats["bn1"])
+        _put_conv(sd, f"{base}.conv2", params[f"res{i}"]["conv2"])
+        _put_bn(sd, f"{base}.bn2", params[f"res{i}"]["bn2"], stats[f"res{i}"]["bn2"])
+    _put_conv(sd, "conv2", params["conv2"])
+    _put_bn(sd, "bn1", params["bn1"], stats["bn1"])
     for i in range(n_shuffles):
         base = f"pixel_shuffle_blocks.{i}"
-        put_conv(f"{base}.conv1", params[f"ps{i}"]["conv1"])
+        _put_conv(sd, f"{base}.conv1", params[f"ps{i}"]["conv1"])
         sd[f"{base}.prelu1.weight"] = np.asarray(params[f"ps{i}"]["prelu1"]["alpha"])
-    put_conv("conv3", params["conv3"])
+    _put_conv(sd, "conv3", params["conv3"])
     return sd
 
 
@@ -209,25 +222,13 @@ def export_torch_discriminator(params: dict, stats: dict, hr_patch: int = 192) -
     train_GAN.py:188.
     """
     sd: dict[str, np.ndarray] = {}
-
-    def put_conv(tkey, tree):
-        c = _conv_out(tree["Conv_0"])
-        sd[f"{tkey}.weight"] = c["weight"]
-        sd[f"{tkey}.bias"] = c["bias"]
-
-    def put_bn(tkey, p, s):
-        sd[f"{tkey}.weight"] = np.asarray(p["scale"])
-        sd[f"{tkey}.bias"] = np.asarray(p["bias"])
-        sd[f"{tkey}.running_mean"] = np.asarray(s["mean"])
-        sd[f"{tkey}.running_var"] = np.asarray(s["var"])
-        sd[f"{tkey}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
-
-    put_conv("conv", params["conv"])
+    _put_conv(sd, "conv", params["conv"])
     for i in range(7):
-        put_conv(f"convblocks.{i}.conv1", params[f"block{i}_conv"])
-        put_bn(f"convblocks.{i}.bn1", params[f"block{i}_bn"], stats[f"block{i}_bn"])
+        _put_conv(sd, f"convblocks.{i}.conv1", params[f"block{i}_conv"])
+        _put_bn(sd, f"convblocks.{i}.bn1", params[f"block{i}_bn"],
+                stats[f"block{i}_bn"])
 
-    h = w = hr_patch // 16
+    h = w = disc_feature_hw(hr_patch)
     c = 512
     k1 = np.asarray(params["dense1"]["Dense_0"]["kernel"])  # (H*W*C, 1024)
     w1 = k1.T.reshape(1024, h, w, c).transpose(0, 3, 1, 2).reshape(1024, c * h * w)

@@ -9,12 +9,6 @@ from datetime import datetime
 import numpy as np
 
 
-def _stringify(value):
-    if isinstance(value, np.ndarray):
-        return str(value)
-    return str(value)
-
-
 def save_log(out_dir: str, **kwargs) -> str:
     """Timestamped `key: value` text log (byte-format parity with the
     reference) plus a sibling .jsonl with JSON-serializable values."""
@@ -23,7 +17,7 @@ def save_log(out_dir: str, **kwargs) -> str:
     path = os.path.join(out_dir, f"{stamp}_log.txt")
     with open(path, "w") as f:
         for key, value in kwargs.items():
-            f.write(f"{key}: {_stringify(value)}\n")
+            f.write(f"{key}: {str(value)}\n")
 
     jpath = os.path.join(out_dir, f"{stamp}_log.jsonl")
     with open(jpath, "w") as f:

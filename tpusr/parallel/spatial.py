@@ -66,10 +66,9 @@ def tiled_generator_forward(
     offsets = []
     for i in range(n_tiles):
         c0 = i * core
-        c1 = min(c0 + core, h)
         if c0 >= h:
-            # degenerate tail tile (h < n_tiles*core); duplicate last window
-            c0, c1 = h - 1, h
+            break  # h < n_tiles*core: the image is fully covered already
+        c1 = min(c0 + core, h)
         w0 = min(max(c0 - halo, 0), h - window)
         windows.append(lax.dynamic_slice(
             lr_image, (0, w0, 0, 0), (1, window, w, 3))[0])
