@@ -171,7 +171,7 @@ def bench_rrdb_2k() -> float:
 
     from tpusr.models.rrdb import RRDBNet
 
-    net = RRDBNet(scale=4)  # canonical nf64/nb23/gc32
+    net = RRDBNet(scale=4, dtype="bfloat16")  # canonical nf64/nb23/gc32
     lr = jnp.asarray(np.random.default_rng(0).random((1, 270, 480, 3)), jnp.float32)
     v = net.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
     fwd = jax.jit(lambda x: net.apply(v, x))

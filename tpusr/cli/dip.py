@@ -200,6 +200,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation compute dtype (params stay f32)")
+    parser.add_argument("--resolve_clean", type=str2bool, default=False,
+                        help="resolve the final image with the un-noised "
+                             "input (the reference keeps the last reg-noise "
+                             "draw, DIP.py:102)")
     parser.add_argument("--bucket", type=int, default=0,
                         help="pad images to multiples of this (must be a "
                              "multiple of the factor); 0 = exact shapes. "
@@ -248,6 +252,7 @@ def run(argv=None):
         skip_n33u=args.skip_n33u,
         skip_n11=args.skip_n11,
         dtype=args.dtype,
+        resolve_clean=args.resolve_clean,
     )
     if args.bucket and args.bucket % factor != 0:
         print(f"--bucket must be a multiple of the scale factor ({factor})")

@@ -110,6 +110,9 @@ def build_parser() -> argparse.ArgumentParser:
                         help="single-chip exact overlap-discard tiling into N "
                              "H-tiles (for images too large for one forward)")
     parser.add_argument("--residual_blocks", type=int, default=16)
+    parser.add_argument("--legacy_scale", type=str2bool, default=False,
+                        help="reproduce the reference's double-/255 image "
+                             "scaling bug (dataset.py:151-157)")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
@@ -140,7 +143,8 @@ def run(argv=None):
     dataset = GANDIV2KDataset(
         LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,
         num_images=args.num_images, noise_type=noise_type,
-        downsample=args.downsample, train=False, seed=args.seed)
+        downsample=args.downsample, train=False, seed=args.seed,
+        legacy_scale=args.legacy_scale)
 
     start_time = time.time()
     eval_metrics, n = evaluate(params_G, stats_G, dataset, out_dir, config,

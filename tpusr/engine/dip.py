@@ -63,6 +63,10 @@ class DIPConfig:
     input_method: str = "noise"    # 'noise' | 'meshgrid' (utils/DIP.py:89-101)
     opt_over: str = "net"          # 'net' | 'net,input' (utils/DIP.py:44-68)
     lbfgs_memory: int = 10
+    # The reference resolves the final image with the LAST reg-noise draw
+    # still applied (DIP.py:102). resolve_clean=True uses the un-noised
+    # input instead — usually slightly better PSNR (opt-in divergence).
+    resolve_clean: bool = False
 
 
 def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
@@ -264,9 +268,11 @@ def _dip_core(
 
     # reference parity: the final image is net(net_input) with net_input
     # still holding the LAST reg-noise-perturbed draw (DIP.py:102)
+    z_final = z_of(trainable)
+    if not config.resolve_clean:
+        z_final = z_final + last_noise
     resolved, _ = net.apply({"params": trainable["net"], "batch_stats": stats},
-                            z_of(trainable) + last_noise, True,
-                            mutable=["batch_stats"])
+                            z_final, True, mutable=["batch_stats"])
     curves = {"psnr": psnrs, "ssim": ssims, "lpips": lpipss, "loss": losses}
     return resolved, curves
 

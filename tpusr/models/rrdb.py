@@ -16,6 +16,8 @@ tpusr/parallel/spatial.py (the model is fully convolutional).
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -27,17 +29,19 @@ class DenseBlock(nn.Module):
 
     nf: int = 64
     gc: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        c1 = leaky_relu(Conv(self.gc, 3, name="conv1")(x), 0.2)
-        c2 = leaky_relu(Conv(self.gc, 3, name="conv2")(
+        dt = self.dtype
+        c1 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv1")(x), 0.2)
+        c2 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv2")(
             jnp.concatenate([x, c1], -1)), 0.2)
-        c3 = leaky_relu(Conv(self.gc, 3, name="conv3")(
+        c3 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv3")(
             jnp.concatenate([x, c1, c2], -1)), 0.2)
-        c4 = leaky_relu(Conv(self.gc, 3, name="conv4")(
+        c4 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv4")(
             jnp.concatenate([x, c1, c2, c3], -1)), 0.2)
-        c5 = Conv(self.nf, 3, name="conv5")(
+        c5 = Conv(self.nf, 3, dtype=dt, name="conv5")(
             jnp.concatenate([x, c1, c2, c3, c4], -1))
         return x + 0.2 * c5
 
@@ -45,38 +49,46 @@ class DenseBlock(nn.Module):
 class RRDB(nn.Module):
     nf: int = 64
     gc: int = 32
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
-        out = DenseBlock(self.nf, self.gc, name="rdb1")(x)
-        out = DenseBlock(self.nf, self.gc, name="rdb2")(out)
-        out = DenseBlock(self.nf, self.gc, name="rdb3")(out)
+        out = DenseBlock(self.nf, self.gc, self.dtype, name="rdb1")(x)
+        out = DenseBlock(self.nf, self.gc, self.dtype, name="rdb2")(out)
+        out = DenseBlock(self.nf, self.gc, self.dtype, name="rdb3")(out)
         return x + 0.2 * out
 
 
 class RRDBNet(nn.Module):
-    """ESRGAN generator. Output is unbounded (no tanh), input [0,1]."""
+    """ESRGAN generator. Output is unbounded (no tanh), input [0,1].
+
+    ``dtype='bfloat16'`` computes activations in bf16 (params f32, output f32).
+    """
 
     out_channels: int = 3
     nf: int = 64
     nb: int = 23
     gc: int = 32
     scale: int = 4  # power of two
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         assert self.scale & (self.scale - 1) == 0, "scale must be power of 2"
-        fea = Conv(self.nf, 3, name="conv_first")(x)
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        fea = Conv(self.nf, 3, dtype=self.dtype, name="conv_first")(x)
         trunk = fea
         for i in range(self.nb):
-            trunk = RRDB(self.nf, self.gc, name=f"rrdb{i}")(trunk)
-        trunk = Conv(self.nf, 3, name="trunk_conv")(trunk)
+            trunk = RRDB(self.nf, self.gc, self.dtype, name=f"rrdb{i}")(trunk)
+        trunk = Conv(self.nf, 3, dtype=self.dtype, name="trunk_conv")(trunk)
         fea = fea + trunk
 
         n_up = self.scale.bit_length() - 1
         for i in range(n_up):
-            n, h, w, c = fea.shape
             fea = jnp.repeat(jnp.repeat(fea, 2, axis=1), 2, axis=2)
-            fea = leaky_relu(Conv(self.nf, 3, name=f"upconv{i + 1}")(fea), 0.2)
-        fea = leaky_relu(Conv(self.nf, 3, name="conv_hr")(fea), 0.2)
-        return Conv(self.out_channels, 3, name="conv_last")(fea)
+            fea = leaky_relu(
+                Conv(self.nf, 3, dtype=self.dtype, name=f"upconv{i + 1}")(fea), 0.2)
+        fea = leaky_relu(Conv(self.nf, 3, dtype=self.dtype, name="conv_hr")(fea), 0.2)
+        out = Conv(self.out_channels, 3, dtype=self.dtype, name="conv_last")(fea)
+        return out.astype(jnp.float32)
