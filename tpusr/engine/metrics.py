@@ -110,8 +110,11 @@ def _ssim_map(pred, target, data_range, kernel_size, sigma, k1, k2):
     mu_tt = _depthwise_blur(target * target, win)
     mu_pt = _depthwise_blur(pred * target, win)
 
-    var_p = mu_pp - mu_p * mu_p
-    var_t = mu_tt - mu_t * mu_t
+    # float cancellation can push E[x^2]-E[x]^2 slightly negative on flat
+    # regions, collapsing the denominator (observed: SSIM -81 mid-DIP-run);
+    # true variances are nonnegative, so clamp
+    var_p = jnp.maximum(mu_pp - mu_p * mu_p, 0.0)
+    var_t = jnp.maximum(mu_tt - mu_t * mu_t, 0.0)
     cov = mu_pt - mu_p * mu_t
 
     num = (2 * mu_p * mu_t + c1) * (2 * cov + c2)
