@@ -14,6 +14,14 @@ def save_log(out_dir: str, **kwargs) -> str:
     reference) plus a sibling .jsonl with JSON-serializable values."""
     os.makedirs(out_dir, exist_ok=True)
     stamp = datetime.now().strftime("%Y_%m_%d_%p%I_%M")
+    # two logs within the same minute (e.g. both GAN phases on fast runs)
+    # must not clobber each other — the reference overwrites here
+    suffix = ""
+    n = 1
+    while os.path.exists(os.path.join(out_dir, f"{stamp}{suffix}_log.txt")):
+        suffix = f"_{n}"
+        n += 1
+    stamp = f"{stamp}{suffix}"
     path = os.path.join(out_dir, f"{stamp}_log.txt")
     with open(path, "w") as f:
         for key, value in kwargs.items():
