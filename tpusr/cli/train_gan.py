@@ -98,7 +98,7 @@ def train_phase(state, dataset, config: GANTrainConfig, lr, num_epoch,
 
 def train_phase_ondevice(state, stacks, config: GANTrainConfig, lr, num_epoch,
                          train_log_freq, content_loss, lpips_fn,
-                         ckpt_dir=None, ckpt_every=0, key=None):
+                         ckpt_dir=None, ckpt_every=0, key=None, mesh=None):
     """GAN_ISR_train parity, executed as on-device epoch chunks.
 
     One dispatch per log-cadence chunk (metrics collected in the chunk's
@@ -113,6 +113,14 @@ def train_phase_ondevice(state, stacks, config: GANTrainConfig, lr, num_epoch,
     lr_u8 = jnp.asarray(lr_u8)
     hr_u8 = jnp.asarray(hr_u8)
     valid = jnp.asarray(valid)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        state = jax.device_put(state, repl)
+        lr_u8 = jax.device_put(lr_u8, repl)
+        hr_u8 = jax.device_put(hr_u8, repl)
+        valid = jax.device_put(valid, repl)
 
     if key is None:
         key = jax.random.key(0)
@@ -126,7 +134,8 @@ def train_phase_ondevice(state, stacks, config: GANTrainConfig, lr, num_epoch,
         start_time = time.time()
         state, logs = gan_train_epochs(
             state, lr_u8, hr_u8, valid, k, config, lr,
-            content_loss=content_loss, n_epochs=chunk, lpips_fn=lpips_fn)
+            content_loss=content_loss, n_epochs=chunk, lpips_fn=lpips_fn,
+            mesh=mesh)
         losses_D = np.asarray(logs["losses_D"])
         losses_G = np.asarray(logs["losses_G"])
         last_d = float(losses_D[-1, -1])
@@ -277,8 +286,9 @@ def run(argv=None):
     # on-device epoch trainer (default): whole log-chunks of epochs per
     # dispatch, patches cropped on chip (engine/gan_epochs.py)
     # legacy_scale parity runs use the host loop (the on-device cropper
-    # bakes in the fixed scaling)
-    on_device = not (args.host_loop or args.data_parallel or args.legacy_scale)
+    # bakes in the fixed scaling); --data_parallel combines with the
+    # on-device trainer via a GSPMD sharding constraint on the patch batch
+    on_device = not (args.host_loop or args.legacy_scale)
     stacks = None
     if on_device:
         from tpusr.engine.gan_epochs import stack_dataset_for_device
@@ -305,7 +315,7 @@ def run(argv=None):
             return train_phase_ondevice(
                 state, stacks, config, lr, epochs, args.train_log_freq,
                 content_loss, lpips_fn, out_dir, args.checkpoint_every,
-                key=phase_key)
+                key=phase_key, mesh=mesh)
         step_fn = None
         if mesh is not None:
             from tpusr.parallel.gan_dp import make_dp_train_step

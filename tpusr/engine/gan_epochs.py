@@ -63,7 +63,7 @@ def _crop_pair(lr_img_u8, hr_img_u8, valid_lr, key, lr_patch: int, factor: int):
 
 
 @partial(jax.jit, static_argnames=("config", "learning_rate", "content_loss",
-                                   "n_epochs", "lpips_fn"))
+                                   "n_epochs", "lpips_fn", "mesh"))
 def gan_train_epochs(
     state: GANTrainState,
     lr_images_u8: jnp.ndarray,   # (N, lh, lw, 3) uint8, padded
@@ -75,6 +75,7 @@ def gan_train_epochs(
     content_loss: Callable = L.mse,
     n_epochs: int = 1,
     lpips_fn: Callable | None = None,
+    mesh=None,
 ):
     """Run ``n_epochs`` epochs fully on device.
 
@@ -98,6 +99,18 @@ def gan_train_epochs(
     crop_batch = jax.vmap(
         partial(_crop_pair, lr_patch=lr_patch, factor=f))
 
+    if mesh is not None:
+        # Data-parallel epochs: image stacks + state stay replicated, the
+        # cropped patch batch is constrained onto the 'data' axis — GSPMD
+        # shards the D/G compute and all-reduces the gradients (classic DP,
+        # shared conv weights). BN moments become global-batch (better than
+        # torch-DDP-without-SyncBN; DESIGN.md).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        patch_sharding = NamedSharding(mesh, P("data"))
+    else:
+        patch_sharding = None
+
     def make_step(with_metrics: bool):
         def step(state, args):
             s_idx, k = args
@@ -105,6 +118,9 @@ def gan_train_epochs(
             hr_b = jax.lax.dynamic_slice_in_dim(hr_images_u8, s_idx * b, b)
             v_b = jax.lax.dynamic_slice_in_dim(valid_lr, s_idx * b, b)
             lr_p, hr_p = crop_batch(lr_b, hr_b, v_b, jax.random.split(k, b))
+            if patch_sharding is not None:
+                lr_p = jax.lax.with_sharding_constraint(lr_p, patch_sharding)
+                hr_p = jax.lax.with_sharding_constraint(hr_p, patch_sharding)
             state, losses = _train_step_core(state, lr_p, hr_p, config, tx,
                                              content_loss)
             if not with_metrics:
