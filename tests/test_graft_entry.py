@@ -20,3 +20,20 @@ def test_entry_compiles_and_runs():
 
 def test_dryrun_multichip_8():
     graft.dryrun_multichip(8)
+
+
+def test_dryrun_multichip_fresh_process():
+    """Exactly the driver's invocation: a FRESH python process with no
+    conftest backend forcing (round-1 failure mode, MULTICHIP_r01.json).
+    dryrun_multichip must force the virtual-CPU backend itself."""
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=580)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dp step + spatial halo inference OK" in proc.stdout
