@@ -74,8 +74,10 @@ def lpips_distance(params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray) -> jn
     ys = (y - shift) / scale
     total = jnp.zeros((x.shape[0],), x.dtype)
     for i, (fx, fy) in enumerate(zip(alexnet_taps(params, xs), alexnet_taps(params, ys))):
-        nx = fx * lax.rsqrt(jnp.sum(fx * fx, axis=-1, keepdims=True) + 1e-10)
-        ny = fy * lax.rsqrt(jnp.sum(fy * fy, axis=-1, keepdims=True) + 1e-10)
+        # lpips.normalize_tensor: feat / (||feat||_C + eps)  — eps OUTSIDE
+        # the sqrt (oracle-matched in tests/test_perceptual_oracle.py)
+        nx = fx / (jnp.sqrt(jnp.sum(fx * fx, axis=-1, keepdims=True)) + 1e-10)
+        ny = fy / (jnp.sqrt(jnp.sum(fy * fy, axis=-1, keepdims=True)) + 1e-10)
         d = (nx - ny) ** 2
         lin = params[f"lin{i}"]["kernel"]  # (C,) nonneg 1x1 weights
         total = total + jnp.mean(jnp.sum(d * lin.astype(x.dtype), axis=-1), axis=(1, 2))

@@ -47,21 +47,30 @@ def vgg19_layer_names() -> list[str]:
 def vgg_preprocess(x: jnp.ndarray) -> jnp.ndarray:
     """torchvision VGG19 eval transform over NHWC (values nominally [0,1]).
 
-    Resize shorter side to 256 (bilinear would be torchvision's default; the
-    resize here is bicubic-free bilinear via jax.image in the caller's dtype),
-    center-crop 224, normalize with ImageNet stats. Matches the reference
-    applying the classifier preset to both loss inputs (utils/GAN.py:82-83).
+    Exact tensor-path semantics of torchvision's ImageClassification preset
+    (the reference applies it to both loss inputs, utils/GAN.py:82-83):
+      * resize shorter side to 256, long side = int(256 * long / short)
+        (torchvision truncates, not rounds), ANTIALIASED bilinear — verified
+        to match torch.nn.functional.interpolate(antialias=True) to ~3e-7
+        (tests/test_perceptual_oracle.py);
+      * center-crop 224 with torchvision's int(round((size-224)/2)) offsets;
+      * normalize with ImageNet stats (no [0,1] rescale for float tensors —
+        convert_image_dtype is a no-op on floats, so the reference's [-1,1]
+        fine-tune tensors pass through unchanged; quirk reproduced).
+
+    jax.image.resize(antialias=True) lowers to per-axis weight matmuls
+    (scale_and_translate), not gathers — MXU-friendly in the per-step loss.
     """
     import jax
 
     n, h, w, c = x.shape
     if h <= w:
-        nh, nw = 256, max(1, int(round(w * 256 / h)))
+        nh, nw = 256, max(224, int(256 * w / h))
     else:
-        nh, nw = max(1, int(round(h * 256 / w))), 256
-    x = jax.image.resize(x, (n, nh, nw, c), method="linear")
-    top = (nh - 224) // 2
-    left = (nw - 224) // 2
+        nh, nw = max(224, int(256 * h / w)), 256
+    x = jax.image.resize(x, (n, nh, nw, c), method="linear", antialias=True)
+    top = int(round((nh - 224) / 2.0))
+    left = int(round((nw - 224) / 2.0))
     x = x[:, top:top + 224, left:left + 224, :]
     mean = jnp.asarray(_IMAGENET_MEAN, x.dtype)
     std = jnp.asarray(_IMAGENET_STD, x.dtype)
