@@ -47,6 +47,43 @@ def test_optimize_input_too():
     assert not np.allclose(np.asarray(r1), np.asarray(r2))
 
 
+def test_optimize_downsampler():
+    """opt_over='net,down' (utils/DIP.py:50-57): the 2-D kernel leaf must
+    receive gradient and change the trajectory vs net-only."""
+    lr, hr = _make_pair(h=32, w=32)
+    cfg = _cfg(opt_over="net,down", num_iter=20, log_freq=10,
+               reg_noise_std=0.0)
+    r1, c1 = dip_superresolve(lr, hr, jax.random.key(0), cfg)
+    losses = np.asarray(c1["loss"])
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+    r2, _ = dip_superresolve(lr, hr, jax.random.key(0),
+                             _cfg(num_iter=20, log_freq=10, reg_noise_std=0.0))
+    assert not np.allclose(np.asarray(r1), np.asarray(r2))
+
+
+def test_downsampler_conv2d_with_matches_separable():
+    """conv2d_with(outer(taps,taps)) == the separable fast path."""
+    from tpusr.ops.resample import Downsampler
+
+    ds = Downsampler(n_planes=3, factor=4, kernel_type="lanczos2",
+                     phase=0.5, preserve_size=True)
+    x = jnp.asarray(np.random.default_rng(0).random((1, 32, 32, 3)),
+                    jnp.float32)
+    sep = ds(x)
+    full = ds.conv2d_with(x, jnp.asarray(ds.kernel, jnp.float32))
+    np.testing.assert_allclose(np.asarray(sep), np.asarray(full), atol=1e-5)
+
+
+def test_opt_over_rejects_unknown():
+    lr, hr = _make_pair(h=32, w=32)
+    cfg = _cfg(opt_over="net,bogus", num_iter=4, log_freq=2)
+    import pytest
+
+    with pytest.raises(ValueError, match="bogus"):
+        dip_superresolve(lr, hr, jax.random.key(0), cfg)
+
+
 def test_skipnet_pool_downsample_modes():
     for mode in ("avg", "max"):
         net = SkipNet(num_input_channels=4, num_channels_down=(8, 8),

@@ -200,6 +200,15 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"],
                         help="activation compute dtype (params stay f32)")
+    # library-surface knobs the reference hardcodes at DIP.py:316-326
+    # (OPTIMIZER='adam', INPUT='noise', OPT_OVER='net'; utils/DIP.py exposes
+    # lbfgs / meshgrid / input,down as code-level options)
+    parser.add_argument("--optimizer", type=str, default="adam",
+                        choices=["adam", "lbfgs"])
+    parser.add_argument("--input_method", type=str, default="noise",
+                        choices=["noise", "meshgrid"])
+    parser.add_argument("--opt_over", type=str, default="net",
+                        help="comma-set of net,input,down (utils/DIP.py:44-68)")
     parser.add_argument("--resolve_clean", type=str2bool, default=False,
                         help="resolve the final image with the un-noised "
                              "input (the reference keeps the last reg-noise "
@@ -252,6 +261,9 @@ def run(argv=None):
         skip_n33u=args.skip_n33u,
         skip_n11=args.skip_n11,
         dtype=args.dtype,
+        optimizer=args.optimizer,
+        input_method=args.input_method,
+        opt_over=args.opt_over,
         resolve_clean=args.resolve_clean,
     )
     if args.bucket and args.bucket % factor != 0:

@@ -61,7 +61,10 @@ class DIPConfig:
     # reference surface beyond DIP.py's defaults:
     optimizer: str = "adam"        # 'adam' | 'lbfgs' (utils/DIP.py:7-42)
     input_method: str = "noise"    # 'noise' | 'meshgrid' (utils/DIP.py:89-101)
-    opt_over: str = "net"          # 'net' | 'net,input' (utils/DIP.py:44-68)
+    # comma-separated subset of {'net','input','down'} (utils/DIP.py:44-68);
+    # 'down' makes the full 2-D lanczos kernel a trainable leaf, like the
+    # reference making its downsampler conv weights require grad
+    opt_over: str = "net"
     lbfgs_memory: int = 10
     # The reference resolves the final image with the LAST reg-noise draw
     # still applied (DIP.py:102). resolve_clean=True uses the un-noised
@@ -136,12 +139,19 @@ def _dip_core(
         raise ValueError(f"unknown input method {config.input_method!r}")
 
     variables = net.init(k_init, z)
-    opt_input = "input" in config.opt_over
+    opt_parts = {p.strip() for p in config.opt_over.split(",")}
+    unknown = opt_parts - {"net", "input", "down"}
+    if unknown:
+        raise ValueError(f"unknown opt_over parts {sorted(unknown)}")
+    opt_input = "input" in opt_parts
+    opt_down = "down" in opt_parts
     # trainables mirror get_params (utils/DIP.py:44-68): always the net,
-    # optionally the input tensor itself
+    # optionally the input tensor and/or the downsampler kernel
     trainable = {"net": variables["params"]}
     if opt_input:
         trainable["z"] = z
+    if opt_down:
+        trainable["down"] = jnp.asarray(downsampler.kernel, jnp.float32)
     stats = variables["batch_stats"]
 
     def z_of(t):
@@ -163,7 +173,10 @@ def _dip_core(
         out_hr, updates = net.apply(
             {"params": t["net"], "batch_stats": st}, z_iter, True,
             mutable=["batch_stats"])
-        out_lr = downsampler(out_hr)
+        if opt_down:
+            out_lr = downsampler.conv2d_with(out_hr, t["down"])
+        else:
+            out_lr = downsampler(out_hr)
         if valid_hw is None:
             loss = jnp.mean((out_lr - lr_image) ** 2)
         else:
@@ -237,7 +250,11 @@ def _dip_core(
 
         # LBFGS stage: deterministic objective (reg noise frozen at 0 —
         # a stochastic loss would defeat the line search; documented
-        # divergence from the reference's noisy closure).
+        # divergence from the reference's noisy closure). The zoom
+        # linesearch also SUPERSEDES config.learning_rate: the reference
+        # passes lr as torch LBFGS's fixed step (utils/DIP.py:30,
+        # line_search_fn=None), while optax's strong-Wolfe search picks the
+        # step per iteration — better-conditioned, divergence in PARITY.md.
         zero_noise = jnp.zeros_like(z)
         det_loss = lambda t: loss_fn(t, stats, zero_noise)[0]
         tx = optax.lbfgs(memory_size=config.lbfgs_memory)

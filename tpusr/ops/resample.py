@@ -220,6 +220,25 @@ class Downsampler:
         y = _depthwise_conv_1d(y, taps, axis=2, stride=self.factor)
         return y
 
+    def conv2d_with(self, x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
+        """Depthwise 2-D conv with an EXPLICIT kernel — the opt_over='down'
+        path (utils/DIP.py:50-57 adds the reference downsampler's conv weight
+        to the optimized set; here the full 2-D kernel is the trainable leaf,
+        so gradients are unconstrained exactly like the reference — the
+        separable fast path only applies while the kernel stays rank-1).
+
+        Equals ``__call__`` to float tolerance when ``kernel2d == outer(taps,
+        taps)`` (tested in tests/test_dip_variants.py)."""
+        if self.preserve_size and self.pad > 0:
+            p = self.pad
+            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
+        c = x.shape[-1]
+        k = kernel2d.shape[0]
+        w = jnp.tile(kernel2d.reshape(k, k, 1, 1).astype(x.dtype), (1, 1, 1, c))
+        return lax.conv_general_dilated(
+            x, w, (self.factor, self.factor), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
 
 def downsample_lanczos(
     x: jnp.ndarray, factor: int, phase: float = 0.5, preserve_size: bool = True
