@@ -113,6 +113,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--legacy_scale", type=str2bool, default=False,
                         help="reproduce the reference's double-/255 image "
                              "scaling bug (dataset.py:151-157)")
+    parser.add_argument("--dtype", type=str, default="float32",
+                        choices=("float32", "bfloat16"),
+                        help="activation dtype for inference (params stay "
+                             "f32); matches the dip/train_gan flag")
     parser.add_argument("--seed", type=int, default=0)
     return parser
 
@@ -137,7 +141,8 @@ def run(argv=None):
 
     print("Starting GAN evaluation..")
     config = GANTrainConfig(factor=factor,
-                            residual_blocks_count=args.residual_blocks)
+                            residual_blocks_count=args.residual_blocks,
+                            dtype=None if args.dtype == "float32" else args.dtype)
     params_G, stats_G = load_generator(args.model_path, config)
 
     dataset = GANDIV2KDataset(

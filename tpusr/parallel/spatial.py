@@ -110,7 +110,17 @@ def sharded_generator_forward(
         raise ValueError(f"image height {h} not divisible by {n} shards")
     slab = h // n
     if halo > slab:
-        halo = slab  # ppermute exchanges at most one full neighbor slab
+        # ppermute exchanges at most one full neighbor slab; clamping below
+        # the receptive field voids the interior-exactness guarantee.
+        import warnings
+
+        warnings.warn(
+            f"spatial halo clamped from {halo} to slab height {slab} "
+            f"(< receptive halo {generator_receptive_halo(config)}): "
+            f"interior shard boundaries are now approximate. Use fewer "
+            f"shards or tiled_generator_forward for exact output.",
+            stacklevel=2)
+        halo = slab
     f = config.factor
 
     fwd = partial(_slab_forward, config=config, halo=halo, f=f,
