@@ -27,7 +27,11 @@ import numpy as np
 DIP_H, DIP_W = 512, 512          # HR optimization canvas (pad-free square)
 DIP_FACTOR = 8
 DIP_ITERS = 1000
-TORCH_BASELINE_ITERS = 3          # extrapolated; torch-CPU is ~1 min/iter here
+TORCH_BASELINE_ITERS = 5          # extrapolated from the per-iter MEDIAN;
+                                  # torch-CPU is ~30-60 s/iter on this 1-vCPU
+                                  # host and single iters jitter >2x under
+                                  # contention (BASELINE.md r1: 12.6k-57k s
+                                  # run-to-run from a 3-iter mean)
 
 
 def _sync(x) -> float:
@@ -76,7 +80,7 @@ def bench_dip_torch_cpu(num_iter: int) -> float:
 
     from tpusr.ops.resample import get_kernel
 
-    torch.set_num_threads(max(torch.get_num_threads(), 1))
+    torch.set_num_threads(1)  # deterministic: the host exposes 1 vCPU
 
     def conv_block(cin, cout, k, stride=1):
         p = (k - 1) // 2
@@ -130,10 +134,14 @@ def bench_dip_torch_cpu(num_iter: int) -> float:
         opt.step()
 
     step()  # warm-up
-    t0 = time.perf_counter()
+    times = []
     for _ in range(num_iter):
+        t0 = time.perf_counter()
         step()
-    return time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
+    # median per-iteration time x count: robust to transient host
+    # contention (single iterations jitter >2x on this shared 1-vCPU box)
+    return float(np.median(times)) * num_iter
 
 
 def bench_gan_eval_mpix() -> float:

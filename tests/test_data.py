@@ -135,3 +135,18 @@ def test_batch_iterator(div2k_dirs):
     assert lr_b.shape == (2, 8, 8, 3)
     assert hr_b.shape == (2, 64, 64, 3)
     assert names == ["0001", "0002"]
+
+
+def test_batch_iterator_pads_ragged_final_batch(div2k_dirs):
+    """pad_to_full wraps the last batch to a constant shape so the jitted
+    train step never recompiles on N % B != 0 (VERDICT r1 #7)."""
+    lr_dir, hr_dir = div2k_dirs
+    ds = GANDIV2KDataset(LR_dir=lr_dir, HR_dir=hr_dir, scale_factor=8,
+                         LR_patch_size=(8, 8), train=True)
+    assert len(ds) == 2
+    batches = list(batch_iterator(ds, batch_size=3, pad_to_full=True))
+    assert len(batches) == 1
+    lr_b, hr_b, names = batches[0]
+    assert lr_b.shape == (3, 8, 8, 3)       # wrapped from the start
+    assert names == ["0001", "0002", "0001"]
+    np.testing.assert_array_equal(lr_b[2], lr_b[0])

@@ -44,6 +44,36 @@ def test_crop_pair_alignment_and_scaling():
     assert 0.0 <= lrv.min() and lrv.max() <= 1.0
 
 
+def test_crop_pair_legacy_scale():
+    """config.legacy_scale reproduces dataset.py:151-157 (second /255 on the
+    already-[0,1] tensors) inside the on-device cropper."""
+    rng = np.random.default_rng(2)
+    lr = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    hr = rng.integers(0, 256, (64, 64, 3), dtype=np.uint8)
+    args = (jnp.asarray(lr), jnp.asarray(hr), jnp.asarray([16, 16]),
+            jax.random.key(0))
+    lr_n, hr_n = _crop_pair(*args, lr_patch=8, factor=4)
+    lr_l, hr_l = _crop_pair(*args, lr_patch=8, factor=4, legacy_scale=True)
+    np.testing.assert_allclose(np.asarray(lr_l), np.asarray(lr_n) / 255.0,
+                               rtol=1e-6)
+    # hr: (u/255/255)*2-1 vs (u/255)*2-1  ->  (hr_n+1)/255 - 1
+    np.testing.assert_allclose(np.asarray(hr_l),
+                               (np.asarray(hr_n) + 1.0) / 255.0 - 1.0,
+                               atol=1e-6)
+
+
+def test_epochs_trainer_legacy_scale_runs():
+    """--legacy_scale parity runs ride the on-device trainer (VERDICT r1 #8)."""
+    lr, hr, valid = _stacks()
+    cfg = GANTrainConfig(factor=4, batch_size=2, hr_patch=32,
+                         residual_blocks_count=2, legacy_scale=True)
+    state = create_gan_state(jax.random.key(0), cfg, 1e-4)
+    new_state, logs = gan_train_epochs(
+        state, lr, hr, valid, jax.random.key(1), cfg, 1e-4, n_epochs=1)
+    assert np.all(np.isfinite(np.asarray(logs["losses_G"])))
+    assert int(new_state.step) == 2
+
+
 def test_epochs_trainer_runs_and_updates():
     lr, hr, valid = _stacks()
     state = create_gan_state(jax.random.key(0), CFG, 1e-4)

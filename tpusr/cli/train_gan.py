@@ -59,7 +59,10 @@ def train_phase(state, dataset, config: GANTrainConfig, lr, num_epoch,
         epoch_psnrs, epoch_ssims, epoch_lpipss = [], [], []
         batches = 0
 
-        for lr_b, hr_b, _ in batch_iterator(dataset, config.batch_size):
+        # pad_to_full: one jitted shape regardless of N % B (the ragged
+        # final batch would otherwise trigger a second multi-minute compile)
+        for lr_b, hr_b, _ in batch_iterator(dataset, config.batch_size,
+                                            pad_to_full=True):
             state, logs = step_fn(state, lr_b, hr_b)
             losses_D.append(float(logs["loss_D"]))
             losses_G.append(float(logs["loss_G"]))
@@ -239,6 +242,7 @@ def run(argv=None):
         pre_train_lr=args.pre_train_learning_rate,
         fine_tune_lr=args.fine_tune_learning_rate,
         legacy_detach=args.legacy_detach,
+        legacy_scale=args.legacy_scale,
         dtype=None if args.dtype == "float32" else args.dtype,
     )
 
@@ -284,11 +288,11 @@ def run(argv=None):
             params_G=pre_state.params_G, stats_G=pre_state.stats_G,
             params_D=pre_state.params_D, stats_D=pre_state.stats_D)
     # on-device epoch trainer (default): whole log-chunks of epochs per
-    # dispatch, patches cropped on chip (engine/gan_epochs.py)
-    # legacy_scale parity runs use the host loop (the on-device cropper
-    # bakes in the fixed scaling); --data_parallel combines with the
-    # on-device trainer via a GSPMD sharding constraint on the patch batch
-    on_device = not (args.host_loop or args.legacy_scale)
+    # dispatch, patches cropped on chip (engine/gan_epochs.py); the cropper
+    # takes legacy_scale as a static switch so parity runs keep the fast
+    # path; --data_parallel combines with the on-device trainer via a GSPMD
+    # sharding constraint on the patch batch
+    on_device = not args.host_loop
     stacks = None
     if on_device:
         from tpusr.engine.gan_epochs import stack_dataset_for_device

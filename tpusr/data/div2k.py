@@ -191,14 +191,25 @@ class GANDIV2KDataset(DIV2KDataset):
         return get_image_pair(self.config, self.HR_images[idx], rng)
 
 
-def batch_iterator(dataset, batch_size: int, drop_last: bool = False):
+def batch_iterator(dataset, batch_size: int, drop_last: bool = False,
+                   pad_to_full: bool = False):
     """Minimal batching loader (reference DataLoader defaults: shuffle=False,
-    drop_last=False; train_GAN.py:175). Yields stacked NHWC numpy batches."""
+    drop_last=False; train_GAN.py:175). Yields stacked NHWC numpy batches.
+
+    ``pad_to_full=True`` wraps the ragged final batch with items from the
+    dataset start so every yielded batch has exactly ``batch_size`` rows —
+    one jitted shape for any dataset length (a per-shape jit would otherwise
+    pay a full recompile on the last batch). Same wrap-padding divergence as
+    ``stack_dataset_for_device``; the reference's DIV2K default (N=800, B=8)
+    divides evenly so the paths agree there.
+    """
     n = len(dataset)
     for start in range(0, n, batch_size):
-        idxs = range(start, min(start + batch_size, n))
+        idxs = list(range(start, min(start + batch_size, n)))
         if drop_last and len(idxs) < batch_size:
             return
+        if pad_to_full:
+            idxs += [i % n for i in range(len(idxs), batch_size)]
         items = [dataset[i] for i in idxs]
         lr = np.stack([it[0] for it in items])
         hr = np.stack([it[1] for it in items])

@@ -44,6 +44,9 @@ class GANTrainConfig:
     fine_tune_lr: float = 1e-5
     residual_blocks_count: int = 16
     legacy_detach: bool = False  # reproduce train_GAN.py:58 exactly
+    # reproduce the reference's double-/255 scaling bug (dataset.py:151-157)
+    # in the ON-DEVICE cropper too, so parity runs keep the fast path
+    legacy_scale: bool = False
     content: str = "auto"  # 'auto' | 'vgg' | 'mse'
     dtype: str | None = None  # 'bfloat16' activations (params stay f32)
 

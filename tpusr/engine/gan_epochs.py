@@ -40,7 +40,8 @@ from tpusr.engine.metrics import psnr as psnr_fn
 from tpusr.engine.metrics import ssim as ssim_fn
 
 
-def _crop_pair(lr_img_u8, hr_img_u8, valid_lr, key, lr_patch: int, factor: int):
+def _crop_pair(lr_img_u8, hr_img_u8, valid_lr, key, lr_patch: int, factor: int,
+               legacy_scale: bool = False):
     """One aligned random patch pair from padded uint8 images.
 
     Offsets follow dataset.py:128-141: LR top-left uniform in
@@ -56,10 +57,15 @@ def _crop_pair(lr_img_u8, hr_img_u8, valid_lr, key, lr_patch: int, factor: int):
                                  (lr_patch, lr_patch, 3))
     hr_p = jax.lax.dynamic_slice(hr_img_u8, (top * factor, left * factor, 0),
                                  (lr_patch * factor, lr_patch * factor, 3))
-    # GANDIV2KDataset.scale_images (dataset.py:149-159)
+    # GANDIV2KDataset.scale_images (dataset.py:149-159); legacy_scale
+    # reproduces the reference's second /255 on the already-[0,1] tensors
+    # (dataset.py:151-157 bug) without leaving the on-device trainer
     lr_f = lr_p.astype(jnp.float32) / 255.0
-    hr_f = hr_p.astype(jnp.float32) / 255.0 * 2.0 - 1.0
-    return lr_f, hr_f
+    hr_f = hr_p.astype(jnp.float32) / 255.0
+    if legacy_scale:
+        lr_f = lr_f / 255.0
+        hr_f = hr_f / 255.0
+    return lr_f, hr_f * 2.0 - 1.0
 
 
 @partial(jax.jit, static_argnames=("config", "learning_rate", "content_loss",
@@ -97,7 +103,8 @@ def gan_train_epochs(
     tx = optax.adam(learning_rate)
 
     crop_batch = jax.vmap(
-        partial(_crop_pair, lr_patch=lr_patch, factor=f))
+        partial(_crop_pair, lr_patch=lr_patch, factor=f,
+                legacy_scale=config.legacy_scale))
 
     if mesh is not None:
         # Data-parallel epochs: image stacks + state stay replicated, the
