@@ -122,8 +122,8 @@ def test_conv_matches_torch(pad_mode, stride):
     conv = Conv(cout, k, stride=stride, pad_mode=pad_mode)
     variables = conv.init(jax.random.key(0), jnp.asarray(x.transpose(0, 2, 3, 1)))
     variables = jax.tree.map(lambda a: a, variables)  # unfreeze-safe copy
-    variables["params"]["Conv_0"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
-    variables["params"]["Conv_0"]["bias"] = jnp.asarray(b)
+    variables["params"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+    variables["params"]["bias"] = jnp.asarray(b)
     got = conv.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
     got = np.asarray(got).transpose(0, 3, 1, 2)
     np.testing.assert_allclose(got, want, atol=1e-4)
@@ -172,8 +172,79 @@ def test_torch_style_init_distribution():
     """Conv kernels/biases ~ U(-1/sqrt(fan_in), +1/sqrt(fan_in))."""
     conv = Conv(64, 3)
     variables = conv.init(jax.random.key(0), jnp.zeros((1, 16, 16, 32)))
-    k = np.asarray(variables["params"]["Conv_0"]["kernel"])
+    k = np.asarray(variables["params"]["kernel"])
     bound = 1.0 / np.sqrt(3 * 3 * 32)
     assert np.abs(k).max() <= bound
     assert np.abs(k).max() > 0.9 * bound  # actually fills the range
     assert abs(k.mean()) < 0.1 * bound
+
+
+# ---------------------------------------------------------------------------
+# TPU layout fast paths (identical-math guarantees)
+# ---------------------------------------------------------------------------
+
+def test_banded_conv_matches_plain():
+    """Batch-1 tall inputs take the space-to-batch banded path; batch-2
+    inputs take the plain path. Same weights => same result, all pad modes
+    and strides."""
+    from tpusr.models.layers import conv_apply
+
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 512, 96, 8)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
+    for pad_mode in ("zero", "reflection"):
+        for stride in (1, 2):
+            banded = conv_apply(x, w, stride, pad_mode)
+            plain = conv_apply(jnp.concatenate([x, x], 0), w, stride,
+                               pad_mode)[:1]
+            np.testing.assert_allclose(np.asarray(banded), np.asarray(plain),
+                                       atol=1e-5)
+
+
+def test_split_conv_and_bn_match_monolithic():
+    """SplitConv/SplitBatchNorm over [skip(4), trunk(128)] == monolithic
+    conv/BN over the 132-channel concat (the skip-merge rewrite)."""
+    from tpusr.models.layers import SplitBatchNorm, SplitConv, conv_apply
+
+    rng = np.random.default_rng(11)
+    s = jnp.asarray(rng.standard_normal((1, 32, 32, 4)), jnp.float32)
+    d = jnp.asarray(rng.standard_normal((1, 32, 32, 128)), jnp.float32)
+    cat = jnp.concatenate([s, d], -1)
+
+    sc = SplitConv(16, 3, (4, 128), pad_mode="reflection")
+    v = sc.init(jax.random.key(0), [s, d])
+    assert v["params"]["kernel"].shape == (3, 3, 132, 16)  # monolithic shape
+    got = sc.apply(v, [s, d])
+    want = conv_apply(cat, v["params"]["kernel"], 1, "reflection") \
+        + v["params"]["bias"]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    sbn = SplitBatchNorm((4, 128))
+    vb = sbn.init(jax.random.key(1), [s, d])
+    assert vb["params"]["scale"].shape == (132,)
+    outs, mut = sbn.apply(vb, [s, d], False, mutable=["batch_stats"])
+    bn = BatchNorm()
+    vb2 = bn.init(jax.random.key(2), cat)
+    want_out, mut2 = bn.apply(vb2, cat, False, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(outs, -1)),
+                               np.asarray(want_out), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mut["batch_stats"]["var"]),
+                               np.asarray(mut2["batch_stats"]["var"]),
+                               atol=1e-6)
+
+
+def test_conv1x1_dot_path_matches_torch():
+    """The 1x1-as-dot fast path against a torch conv oracle."""
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 9, 7, 12)).astype(np.float32)
+    w = rng.standard_normal((5, 12, 1, 1)).astype(np.float32)
+    b = rng.standard_normal((5,)).astype(np.float32)
+    want = F.conv2d(torch.from_numpy(x).permute(0, 3, 1, 2),
+                    torch.from_numpy(w), torch.from_numpy(b)).numpy()
+    conv = Conv(5, 1)
+    variables = conv.init(jax.random.key(0), jnp.asarray(x))
+    variables = jax.tree.map(lambda a: a, variables)
+    variables["params"]["kernel"] = jnp.asarray(w.transpose(2, 3, 1, 0))
+    variables["params"]["bias"] = jnp.asarray(b)
+    got = np.asarray(conv.apply(variables, jnp.asarray(x))).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(got, want, atol=1e-4)

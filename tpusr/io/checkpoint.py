@@ -103,7 +103,7 @@ def import_torch_generator(sd: dict, residual_blocks_count: int = 16,
     params: dict[str, Any] = {}
     stats: dict[str, Any] = {}
 
-    params["conv1"] = {"Conv_0": _conv_in(sd, "conv1")}
+    params["conv1"] = _conv_in(sd, "conv1")
     params["prelu1"] = {"alpha": jnp.asarray(sd["prelu1.weight"])}
 
     for i in range(residual_blocks_count):
@@ -111,15 +111,15 @@ def import_torch_generator(sd: dict, residual_blocks_count: int = 16,
         bn1_p, bn1_s = _bn_in(sd, f"{base}.bn1")
         bn2_p, bn2_s = _bn_in(sd, f"{base}.bn2")
         params[f"res{i}"] = {
-            "conv1": {"Conv_0": _conv_in(sd, f"{base}.conv1")},
+            "conv1": _conv_in(sd, f"{base}.conv1"),
             "bn1": bn1_p,
             "prelu1": {"alpha": jnp.asarray(sd[f"{base}.prelu1.weight"])},
-            "conv2": {"Conv_0": _conv_in(sd, f"{base}.conv2")},
+            "conv2": _conv_in(sd, f"{base}.conv2"),
             "bn2": bn2_p,
         }
         stats[f"res{i}"] = {"bn1": bn1_s, "bn2": bn2_s}
 
-    params["conv2"] = {"Conv_0": _conv_in(sd, "conv2")}
+    params["conv2"] = _conv_in(sd, "conv2")
     bn_p, bn_s = _bn_in(sd, "bn1")
     params["bn1"] = bn_p
     stats["bn1"] = bn_s
@@ -127,11 +127,11 @@ def import_torch_generator(sd: dict, residual_blocks_count: int = 16,
     for i in range(n_shuffles):
         base = f"pixel_shuffle_blocks.{i}"
         params[f"ps{i}"] = {
-            "conv1": {"Conv_0": _conv_in(sd, f"{base}.conv1")},
+            "conv1": _conv_in(sd, f"{base}.conv1"),
             "prelu1": {"alpha": jnp.asarray(sd[f"{base}.prelu1.weight"])},
         }
 
-    params["conv3"] = {"Conv_0": _conv_in(sd, "conv3")}
+    params["conv3"] = _conv_in(sd, "conv3")
     return params, stats
 
 
@@ -142,12 +142,12 @@ def import_torch_discriminator(sd: dict, hr_patch: int = 192):
     flatten NHWC — the weight rows are permuted accordingly
     (discriminator.py:54 vs srgan.py Discriminator).
     """
-    params: dict[str, Any] = {"conv": {"Conv_0": _conv_in(sd, "conv")}}
+    params: dict[str, Any] = {"conv": _conv_in(sd, "conv")}
     stats: dict[str, Any] = {}
     for i in range(7):
         base = f"convblocks.{i}"
         bn_p, bn_s = _bn_in(sd, f"{base}.bn1")
-        params[f"block{i}_conv"] = {"Conv_0": _conv_in(sd, f"{base}.conv1")}
+        params[f"block{i}_conv"] = _conv_in(sd, f"{base}.conv1")
         params[f"block{i}_bn"] = bn_p
         stats[f"block{i}_bn"] = bn_s
 
@@ -173,7 +173,7 @@ def _conv_out(tree) -> dict:
 
 
 def _put_conv(sd: dict, tkey: str, tree) -> None:
-    c = _conv_out(tree["Conv_0"])
+    c = _conv_out(tree)
     sd[f"{tkey}.weight"] = c["weight"]
     sd[f"{tkey}.bias"] = c["bias"]
 

@@ -55,11 +55,91 @@ def torch_bias_init_for(fan_in: int) -> Callable:
 # Layers
 # ---------------------------------------------------------------------------
 
+# Space-to-batch banding for batch-1 spatial convs. Measured on the target
+# chip (DESIGN.md "conv probe"): XLA tiles a batch-1 3x3 conv @512^2 at
+# ~49 TF/s but the SAME conv as 8 smaller-H batched rows at ~125 TF/s — the
+# batch-1 spatial tiling, not the MXU, is the ceiling. Banding reshapes
+# (1,H,W,C) into nb overlapping row bands (halo = k//2), convs them as a
+# batch, and reshapes back (free: row-major layouts coincide). Exact same
+# math; halo rows are the only overhead.
+_BAND_TARGET_H = 64  # band height sweet spot from the probe
+_BAND_MIN_H = 256    # don't band small images (overhead > gain)
+
+
+def _pick_bands(H: int, stride: int) -> int:
+    """Largest band count <= H/_BAND_TARGET_H that tiles H evenly (and keeps
+    bands stride-aligned); 1 = don't band."""
+    for nb in range(min(H // _BAND_TARGET_H, 64), 1, -1):
+        if H % nb == 0 and (H // nb) % stride == 0:
+            return nb
+    return 1
+
+
+def _banded_conv(x, kernel, stride, pad_mode, nb):
+    """Batch-1 kxk conv via ``nb`` overlapping row bands. x: (1,H,W,Cin).
+
+    H and W are pre-padded here (reflect or zero per pad_mode), the conv
+    runs VALID; band i covers padded rows [i*bh, i*bh + bh + 2p) so outputs
+    tile exactly — identical math to the SAME-padded conv, fp-accumulation
+    included.
+    """
+    k = kernel.shape[0]
+    p = (k - 1) // 2
+    _, H, W, C = x.shape
+    bh = H // nb
+    mode = "reflect" if pad_mode == "reflection" else "constant"
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=mode)
+    bands = jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(xp, i * bh, bh + 2 * p, axis=1)
+         for i in range(nb)], axis=0)  # (nb, bh+2p, W+2p, Cin)
+    y = jax.lax.conv_general_dilated(
+        bands, kernel, (stride, stride), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y.reshape(1, H // stride, W // stride, kernel.shape[-1])
+
+
+def conv_apply(x, kernel, stride: int, pad_mode: str):
+    """Shape-dispatching conv core (no bias): 1x1 as dot, batch-1 tall
+    images banded, otherwise a plain lax conv. kernel: HWIO, x: NHWC,
+    both already in the compute dtype."""
+    k = kernel.shape[0]
+    p = (k - 1) // 2
+    features = kernel.shape[-1]
+
+    if k == 1 and stride == 1:
+        y = jnp.dot(x.reshape(-1, x.shape[-1]), kernel.reshape(-1, features))
+        return y.reshape(*x.shape[:-1], features)
+
+    if (x.ndim == 4 and x.shape[0] == 1 and x.shape[1] >= _BAND_MIN_H
+            and k > 1 and pad_mode in ("zero", "reflection")):
+        nb = _pick_bands(x.shape[1], stride)
+        if nb > 1:
+            return _banded_conv(x, kernel, stride, pad_mode, nb)
+
+    if pad_mode == "reflection" and p > 0:
+        x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
+        padding = "VALID"
+    elif pad_mode == "valid" or p == 0:
+        padding = "VALID"
+    else:
+        padding = ((p, p), (p, p))
+    return jax.lax.conv_general_dilated(
+        x, kernel, (stride, stride), padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Conv(nn.Module):
     """2-D conv over NHWC with torch-style 'same' padding semantics.
 
     pad_mode: 'zero' pads inside the conv; 'reflection' applies reflect
     padding first then a VALID conv (parity: models/DIP/utils.py:96-102).
+
+    TPU fast paths (identical math, layout-level only):
+      * 1x1 stride-1 convs run as a reshaped jnp.dot — XLA's conv lowering
+        leaves a measured 10x on the table for pointwise convs (9 TF/s conv
+        vs bandwidth-bound dot; DESIGN.md conv probe);
+      * batch-1 kxk convs on tall images run space-to-batch banded
+        (see _banded_conv above), ~2.5x on the canonical DIP shapes.
     """
 
     features: int
@@ -72,25 +152,19 @@ class Conv(nn.Module):
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        p = (k - 1) // 2
-        if self.pad_mode == "reflection" and p > 0:
-            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="reflect")
-            padding = "VALID"
-        elif self.pad_mode == "valid" or p == 0:
-            padding = "VALID"
-        else:
-            padding = ((p, p), (p, p))
         fan_in = k * k * x.shape[-1]
-        return nn.Conv(
-            features=self.features,
-            kernel_size=(k, k),
-            strides=(self.stride, self.stride),
-            padding=padding,
-            use_bias=self.use_bias,
-            dtype=self.dtype,
-            kernel_init=torch_kernel_init,
-            bias_init=torch_bias_init_for(fan_in),
-        )(x)
+        # params are declared directly on this module (path: <name>/kernel),
+        # independent of which compute path the input shape selects
+        kernel = self.param("kernel", torch_kernel_init,
+                            (k, k, x.shape[-1], self.features))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        y = conv_apply(x, kernel.astype(x.dtype), self.stride, self.pad_mode)
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init_for(fan_in),
+                              (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class Dense(nn.Module):
@@ -151,6 +225,100 @@ class BatchNorm(nn.Module):
         eff_scale = (inv * scale).astype(in_dtype)
         eff_bias = (bias - mean * inv * scale).astype(in_dtype)
         return x * eff_scale + eff_bias
+
+
+class SplitBatchNorm(nn.Module):
+    """BatchNorm2d over a channel-concatenation WITHOUT materializing it.
+
+    BN statistics are per-channel over (N,H,W), so BN(concat(xs)) ==
+    [BN_part(x) for x in xs] with the parameter/stat vectors sliced — this
+    module declares the SAME (sum(splits),)-shaped params/stats a monolithic
+    BatchNorm over the concat would, but consumes/produces the parts.
+
+    Why: a 132-channel concat tensor pads to 256 lanes in HBM on TPU
+    (measured 28%% of the DIP step in the skip-merge path, DESIGN.md);
+    keeping the 4-channel skip and 128-channel trunk separate stays
+    tile-aligned. Math identical to BatchNorm (torch semantics).
+    """
+
+    splits: Sequence[int]
+    momentum: float = 0.1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xs, use_running_average: bool = False):
+        c = sum(self.splits)
+        scale = self.param("scale", lambda k, s: jnp.ones(s), (c,))
+        bias = self.param("bias", lambda k, s: jnp.zeros(s), (c,))
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
+
+        outs, means, varis = [], [], []
+        off = 0
+        for x, ci in zip(xs, self.splits):
+            in_dtype = x.dtype
+            if use_running_average:
+                mean = jax.lax.dynamic_slice_in_dim(ra_mean.value, off, ci)
+                var = jax.lax.dynamic_slice_in_dim(ra_var.value, off, ci)
+            else:
+                axes = tuple(range(x.ndim - 1))
+                mean = jnp.mean(x, axis=axes, dtype=jnp.float32)
+                mean2 = jnp.mean(jnp.square(x), axis=axes, dtype=jnp.float32)
+                var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+                means.append(mean)
+                varis.append(var * ((x.size // ci) / max(x.size // ci - 1, 1)))
+            sc = jax.lax.dynamic_slice_in_dim(scale, off, ci)
+            bi = jax.lax.dynamic_slice_in_dim(bias, off, ci)
+            inv = jax.lax.rsqrt(var + self.eps)
+            eff_scale = (inv * sc).astype(in_dtype)
+            eff_bias = (bi - mean * inv * sc).astype(in_dtype)
+            outs.append(x * eff_scale + eff_bias)
+            off += ci
+
+        if not use_running_average and not self.is_initializing():
+            m = self.momentum
+            ra_mean.value = (1 - m) * ra_mean.value + m * jnp.concatenate(means)
+            ra_var.value = (1 - m) * ra_var.value + m * jnp.concatenate(varis)
+        return outs
+
+
+class SplitConv(nn.Module):
+    """kxk conv over a channel-concatenation without materializing it:
+    conv(concat(xs), W) == sum_i conv(xs[i], W[:, :, slice_i, :]).
+
+    Declares ONE (k,k,sum(splits),features) kernel — identical shape and
+    torch-init distribution (fan_in = k*k*sum(splits)) to a monolithic Conv
+    over the concat. Each part rides conv_apply's fast paths.
+    """
+
+    features: int
+    kernel_size: int
+    splits: Sequence[int]
+    stride: int = 1
+    use_bias: bool = True
+    pad_mode: str = "zero"
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, xs):
+        k = self.kernel_size
+        cin = sum(self.splits)
+        kernel = self.param("kernel", torch_kernel_init,
+                            (k, k, cin, self.features))
+        y = None
+        off = 0
+        for x, ci in zip(xs, self.splits):
+            if self.dtype is not None:
+                x = x.astype(self.dtype)
+            part = conv_apply(x, kernel[:, :, off:off + ci, :].astype(x.dtype),
+                              self.stride, self.pad_mode)
+            y = part if y is None else y + part
+            off += ci
+        if self.use_bias:
+            bias = self.param("bias", torch_bias_init_for(k * k * cin),
+                              (self.features,))
+            y = y + bias.astype(y.dtype)
+        return y
 
 
 class PReLU(nn.Module):
@@ -221,12 +389,11 @@ def upsample2x(x: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
     raise ValueError(f"unknown upsample mode {mode!r}")
 
 
-def concat_center_crop(xs: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
-    """Concat after center-cropping all inputs to the min spatial size.
+def center_crop_to_min(xs: Sequence[jnp.ndarray]) -> list[jnp.ndarray]:
+    """Center-crop all inputs to the min spatial size (static offsets).
 
-    Parity: the Concat module of the reference (models/DIP/utils.py:10-41).
-    Crop offsets are static (shapes known at trace time) — no dynamic shapes
-    reach XLA.
+    Parity: the crop half of the reference's Concat module
+    (models/DIP/utils.py:10-41).
     """
     hs = [x.shape[1] for x in xs]
     ws = [x.shape[2] for x in xs]
@@ -236,7 +403,17 @@ def concat_center_crop(xs: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray
         dh = (x.shape[1] - th) // 2
         dw = (x.shape[2] - tw) // 2
         cropped.append(x[:, dh:dh + th, dw:dw + tw, :])
-    return jnp.concatenate(cropped, axis=axis)
+    return cropped
+
+
+def concat_center_crop(xs: Sequence[jnp.ndarray], axis: int = -1) -> jnp.ndarray:
+    """Concat after center-cropping all inputs to the min spatial size.
+
+    Parity: the Concat module of the reference (models/DIP/utils.py:10-41).
+    Crop offsets are static (shapes known at trace time) — no dynamic shapes
+    reach XLA.
+    """
+    return jnp.concatenate(center_crop_to_min(xs), axis=axis)
 
 
 def activation(name: str) -> Callable:

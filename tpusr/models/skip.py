@@ -28,8 +28,10 @@ import flax.linen as nn
 from tpusr.models.layers import (
     BatchNorm,
     Conv,
+    SplitBatchNorm,
+    SplitConv,
     activation,
-    concat_center_crop,
+    center_crop_to_min,
     pool2x2,
     upsample2x,
 )
@@ -96,10 +98,18 @@ class SkipNet(nn.Module):
             d = upsample2x(d, self.upsample_mode)
             branches.append(d)
 
-            z = concat_center_crop(branches, axis=-1)
-            z = BatchNorm(name=f"merge{i}_bn")(z, ura)
-            z = conv(self.num_channels_up[i], self.filter_size_up,
-                     f"up{i}_conv")(z)
+            # merge = BN(concat([skip, deeper])) -> conv, computed WITHOUT
+            # materializing the concat: a 132-channel tensor pads to 256
+            # HBM lanes on TPU and the skip-merge path measured 28% of the
+            # whole DIP step (DESIGN.md). SplitBatchNorm/SplitConv declare
+            # the exact monolithic param shapes (scale (132,), kernel
+            # (3,3,132,128)) and compute identical math on the parts.
+            parts = center_crop_to_min(branches)
+            widths = tuple(p.shape[-1] for p in parts)
+            parts = SplitBatchNorm(widths, name=f"merge{i}_bn")(parts, ura)
+            z = SplitConv(self.num_channels_up[i], self.filter_size_up,
+                          widths, use_bias=self.need_bias, pad_mode=self.pad,
+                          dtype=dt, name=f"up{i}_conv")(parts)
             z = act(BatchNorm(name=f"up{i}_bn")(z, ura))
             if self.need1x1_up:
                 z = conv(self.num_channels_up[i], 1, f"up{i}_conv1x1")(z)
