@@ -190,15 +190,18 @@ def test_banded_conv_matches_plain():
     from tpusr.models.layers import conv_apply
 
     rng = np.random.default_rng(10)
-    x = jnp.asarray(rng.standard_normal((1, 512, 96, 8)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
-    for pad_mode in ("zero", "reflection"):
-        for stride in (1, 2):
-            banded = conv_apply(x, w, stride, pad_mode)
-            plain = conv_apply(jnp.concatenate([x, x], 0), w, stride,
-                               pad_mode)[:1]
-            np.testing.assert_allclose(np.asarray(banded), np.asarray(plain),
-                                       atol=1e-5)
+    for k, H in [(3, 512), (9, 512), (3, 500)]:  # 9x9 = SRGAN head/tail
+        x = jnp.asarray(rng.standard_normal((1, H, 96, 8)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, 8, 16)) * 0.1, jnp.float32)
+        for pad_mode in ("zero", "reflection"):
+            for stride in (1, 2):
+                if H % stride:
+                    continue
+                banded = conv_apply(x, w, stride, pad_mode)
+                plain = conv_apply(jnp.concatenate([x, x], 0), w, stride,
+                                   pad_mode)[:1]
+                np.testing.assert_allclose(np.asarray(banded),
+                                           np.asarray(plain), atol=1e-5)
 
 
 def test_split_conv_and_bn_match_monolithic():

@@ -62,8 +62,12 @@ def torch_bias_init_for(fan_in: int) -> Callable:
 # (1,H,W,C) into nb overlapping row bands (halo = k//2), convs them as a
 # batch, and reshapes back (free: row-major layouts coincide). Exact same
 # math; halo rows are the only overhead.
+import os as _os
+
 _BAND_TARGET_H = 64  # band height sweet spot from the probe
-_BAND_MIN_H = 256    # don't band small images (overhead > gain)
+# don't band small images (overhead > gain); TPUSR_BAND_MIN_H=0 disables
+# banding entirely (perf A/B hook)
+_BAND_MIN_H = int(_os.environ.get("TPUSR_BAND_MIN_H", "256")) or 10 ** 9
 
 
 def _pick_bands(H: int, stride: int) -> int:
@@ -78,22 +82,35 @@ def _pick_bands(H: int, stride: int) -> int:
 def _banded_conv(x, kernel, stride, pad_mode, nb):
     """Batch-1 kxk conv via ``nb`` overlapping row bands. x: (1,H,W,Cin).
 
-    H and W are pre-padded here (reflect or zero per pad_mode), the conv
-    runs VALID; band i covers padded rows [i*bh, i*bh + bh + 2p) so outputs
-    tile exactly — identical math to the SAME-padded conv, fp-accumulation
-    included.
+    Bands are assembled DIRECTLY from row slices of x (plus k//2 explicit
+    edge rows — reflected or zero) so the only materialization is the band
+    tensor itself; W padding stays inside the conv for 'zero' and is a
+    single (H, W+2p) copy for 'reflection'. A full jnp.pad of x would cost
+    an extra whole-tensor HBM pass each way (measured ~1 ms/conv @512²).
+    Identical math to the SAME-padded conv, fp-accumulation included.
     """
     k = kernel.shape[0]
     p = (k - 1) // 2
     _, H, W, C = x.shape
     bh = H // nb
-    mode = "reflect" if pad_mode == "reflection" else "constant"
-    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode=mode)
-    bands = jnp.concatenate(
-        [jax.lax.dynamic_slice_in_dim(xp, i * bh, bh + 2 * p, axis=1)
-         for i in range(nb)], axis=0)  # (nb, bh+2p, W+2p, Cin)
+
+    if pad_mode == "reflection":
+        xw = jnp.pad(x, ((0, 0), (0, 0), (p, p), (0, 0)), mode="reflect")
+        top = xw[:, 1:p + 1][:, ::-1]              # rows p..1 (reflect)
+        bot = xw[:, H - p - 1:H - 1][:, ::-1]      # rows H-2..H-p-1
+        conv_pad = "VALID"
+    else:
+        xw = x
+        top = jnp.zeros((1, p, W, C), x.dtype)
+        bot = top
+        conv_pad = ((0, 0), (p, p))
+
+    rows = [jnp.concatenate([top, xw[:, :bh + p]], axis=1)]
+    rows += [xw[:, i * bh - p:(i + 1) * bh + p] for i in range(1, nb - 1)]
+    rows.append(jnp.concatenate([xw[:, H - bh - p:], bot], axis=1))
+    bands = jnp.concatenate(rows, axis=0)  # (nb, bh+2p, W(+2p), Cin)
     y = jax.lax.conv_general_dilated(
-        bands, kernel, (stride, stride), "VALID",
+        bands, kernel, (stride, stride), conv_pad,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return y.reshape(1, H // stride, W // stride, kernel.shape[-1])
 
