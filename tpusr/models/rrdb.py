@@ -21,28 +21,96 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-from tpusr.models.layers import Conv, leaky_relu
+from tpusr.models.layers import (
+    Conv,
+    conv_apply,
+    leaky_relu,
+    torch_bias_init_for,
+    torch_kernel_init,
+)
 
 
 class DenseBlock(nn.Module):
-    """5-conv dense block with growth gc and 0.2 residual scaling."""
+    """5-conv dense block with growth gc and 0.2 residual scaling.
+
+    Parameters are the canonical per-conv kernels conv_k: (3,3,nf+(k-1)gc,gc)
+    (ESRGAN layout, torch-init distributions preserved per logical conv).
+
+    ``packed=True`` (default) evaluates the block MXU-packed: gc=32 output
+    channels fill a quarter of the 128-wide MXU output tile and every
+    ``concat([x, c1..])`` materializes an unaligned-lane tensor in HBM
+    (round-1 bench: 7.8 MPix/s with most convs at 25% output packing).
+    Since conv(concat(xs), K) == sum_i conv(xs_i, K_slice_i), the packed
+    path regroups kernel slices BY PRODUCER: one conv per source tensor
+    emitting all of its consumers' contributions at once —
+    x -> (4gc+nf)-wide, c1 -> (3gc+nf), c2 -> (2gc+nf), c3 -> (gc+nf),
+    c4 -> nf — then assembles c_k by slice-adds (one fused VPU pass each).
+    No concats, all conv outputs >= nf channels. Identical math
+    (fp-reassociation only; golden-tested against packed=False).
+    """
 
     nf: int = 64
     gc: int = 32
     dtype: Any = None
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
-        dt = self.dtype
-        c1 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv1")(x), 0.2)
-        c2 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv2")(
-            jnp.concatenate([x, c1], -1)), 0.2)
-        c3 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv3")(
-            jnp.concatenate([x, c1, c2], -1)), 0.2)
-        c4 = leaky_relu(Conv(self.gc, 3, dtype=dt, name="conv4")(
-            jnp.concatenate([x, c1, c2, c3], -1)), 0.2)
-        c5 = Conv(self.nf, 3, dtype=dt, name="conv5")(
-            jnp.concatenate([x, c1, c2, c3, c4], -1))
+        nf, gc = self.nf, self.gc
+        kshapes = [nf + i * gc for i in range(5)]
+        kernels, biases = [], []
+        for k, cin in enumerate(kshapes, start=1):
+            cout = gc if k < 5 else nf
+            kernels.append(self.param(f"conv{k}_kernel", torch_kernel_init,
+                                      (3, 3, cin, cout)))
+            biases.append(self.param(f"conv{k}_bias",
+                                     torch_bias_init_for(9 * cin), (cout,)))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+        kernels = [k.astype(x.dtype) for k in kernels]
+        b1, b2, b3, b4, b5 = [b.astype(x.dtype) for b in biases]
+        k1, k2, k3, k4, k5 = kernels
+
+        if not self.packed:
+            c1 = leaky_relu(conv_apply(x, k1, 1, "zero") + b1, 0.2)
+            c2 = leaky_relu(conv_apply(jnp.concatenate([x, c1], -1), k2, 1,
+                                       "zero") + b2, 0.2)
+            c3 = leaky_relu(conv_apply(jnp.concatenate([x, c1, c2], -1), k3,
+                                       1, "zero") + b3, 0.2)
+            c4 = leaky_relu(conv_apply(jnp.concatenate([x, c1, c2, c3], -1),
+                                       k4, 1, "zero") + b4, 0.2)
+            c5 = conv_apply(jnp.concatenate([x, c1, c2, c3, c4], -1), k5, 1,
+                            "zero") + b5
+            return x + 0.2 * c5
+
+        # producer-packed kernels: W_src = concat of every consumer's slice
+        # of the source's input channels
+        def sl(k, lo):  # source channel slice [lo, lo+width) of kernel k
+            return k[:, :, lo:lo + (nf if lo == 0 else gc), :]
+
+        w_x = jnp.concatenate([sl(k1, 0), sl(k2, 0), sl(k3, 0), sl(k4, 0),
+                               sl(k5, 0)], axis=-1)            # nf -> 4gc+nf
+        w_1 = jnp.concatenate([sl(k2, nf), sl(k3, nf), sl(k4, nf),
+                               sl(k5, nf)], axis=-1)           # gc -> 3gc+nf
+        w_2 = jnp.concatenate([sl(k3, nf + gc), sl(k4, nf + gc),
+                               sl(k5, nf + gc)], axis=-1)      # gc -> 2gc+nf
+        w_3 = jnp.concatenate([sl(k4, nf + 2 * gc),
+                               sl(k5, nf + 2 * gc)], axis=-1)  # gc -> gc+nf
+        w_4 = sl(k5, nf + 3 * gc)                              # gc -> nf
+
+        px = conv_apply(x, w_x, 1, "zero")
+        c1 = leaky_relu(px[..., :gc] + b1, 0.2)
+        p1 = conv_apply(c1, w_1, 1, "zero")
+        c2 = leaky_relu(px[..., gc:2 * gc] + p1[..., :gc] + b2, 0.2)
+        p2 = conv_apply(c2, w_2, 1, "zero")
+        c3 = leaky_relu(px[..., 2 * gc:3 * gc] + p1[..., gc:2 * gc]
+                        + p2[..., :gc] + b3, 0.2)
+        p3 = conv_apply(c3, w_3, 1, "zero")
+        c4 = leaky_relu(px[..., 3 * gc:4 * gc] + p1[..., 2 * gc:3 * gc]
+                        + p2[..., gc:2 * gc] + p3[..., :gc] + b4, 0.2)
+        p4 = conv_apply(c4, w_4, 1, "zero")
+        c5 = (px[..., 4 * gc:] + p1[..., 3 * gc:] + p2[..., 2 * gc:]
+              + p3[..., gc:] + p4 + b5)
         return x + 0.2 * c5
 
 
@@ -50,12 +118,16 @@ class RRDB(nn.Module):
     nf: int = 64
     gc: int = 32
     dtype: Any = None
+    packed: bool = True
 
     @nn.compact
     def __call__(self, x):
-        out = DenseBlock(self.nf, self.gc, self.dtype, name="rdb1")(x)
-        out = DenseBlock(self.nf, self.gc, self.dtype, name="rdb2")(out)
-        out = DenseBlock(self.nf, self.gc, self.dtype, name="rdb3")(out)
+        out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
+                         name="rdb1")(x)
+        out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
+                         name="rdb2")(out)
+        out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
+                         name="rdb3")(out)
         return x + 0.2 * out
 
 
@@ -71,6 +143,7 @@ class RRDBNet(nn.Module):
     gc: int = 32
     scale: int = 4  # power of two
     dtype: Any = None
+    packed: bool = True  # MXU-packed dense blocks (see DenseBlock)
 
     @nn.compact
     def __call__(self, x):
@@ -80,7 +153,8 @@ class RRDBNet(nn.Module):
         fea = Conv(self.nf, 3, dtype=self.dtype, name="conv_first")(x)
         trunk = fea
         for i in range(self.nb):
-            trunk = RRDB(self.nf, self.gc, self.dtype, name=f"rrdb{i}")(trunk)
+            trunk = RRDB(self.nf, self.gc, self.dtype, self.packed,
+                         name=f"rrdb{i}")(trunk)
         trunk = Conv(self.nf, 3, dtype=self.dtype, name="trunk_conv")(trunk)
         fea = fea + trunk
 
