@@ -1,0 +1,63 @@
+"""Fused Pallas conv3x3 (ops/pallas_conv.py) — correctness via the CPU
+interpreter (interpret=True; the Mosaic path needs the real chip and is
+exercised by the DIP bench)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpusr.ops.pallas_conv import _fused_ref, fused_conv3x3, fused_conv_supported
+
+
+@pytest.mark.parametrize("pad", ["reflection", "zero"])
+@pytest.mark.parametrize("act,affine", [(None, False), ("leaky_relu", True)])
+def test_fused_conv_matches_reference(pad, act, affine):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 128, 128, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    es = jnp.asarray(rng.uniform(0.5, 1.5, (128,)), jnp.float32)
+    eb = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+
+    y, st = fused_conv3x3(x, w, es if affine else None,
+                          eb if affine else None, act=act, pad_mode=pad,
+                          stats=True, interpret=True)
+    yr, str_ = _fused_ref(x, w, es, eb, affine=affine, act=act,
+                          reflect=(pad == "reflection"), stats=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(str_),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_fused_conv_gradients_match_reference():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 64, 128, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    es = jnp.asarray(rng.uniform(0.5, 1.5, (128,)), jnp.float32)
+    eb = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+
+    def loss(f):
+        def inner(x, w, es, eb):
+            y, st = f(x, w, es, eb)
+            return (0.5 * jnp.sum(jnp.square(y)) + 0.1 * jnp.sum(st[0])
+                    + 0.01 * jnp.sum(st[1]))
+        return inner
+
+    g1 = jax.grad(loss(lambda x, w, es, eb: fused_conv3x3(
+        x, w, es, eb, act="leaky_relu", pad_mode="reflection", stats=True,
+        interpret=True)), argnums=(0, 1, 2, 3))(x, w, es, eb)
+    g2 = jax.grad(loss(lambda x, w, es, eb: _fused_ref(
+        x, w, es, eb, affine=True, act="leaky_relu", reflect=True,
+        stats=True)), argnums=(0, 1, 2, 3))(x, w, es, eb)
+    for a, b in zip(g1, g2):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4
+
+
+def test_supported_shapes():
+    assert fused_conv_supported((1, 512, 512, 128), 3, 1)
+    assert not fused_conv_supported((2, 512, 512, 128), 3, 1)  # batch
+    assert not fused_conv_supported((1, 512, 512, 132), 3, 1)  # lanes
+    assert not fused_conv_supported((1, 512, 512, 128), 3, 2)  # stride
+    assert not fused_conv_supported((1, 512, 512, 128), 1, 1)  # k
+    assert not fused_conv_supported((1, 30, 512, 128), 3, 1)   # tiny H
