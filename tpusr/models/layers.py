@@ -167,19 +167,47 @@ class Conv(nn.Module):
     dtype: Any = None  # compute dtype (params stay float32)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, prologue=None, emit_stats: bool = False,
+                 interpret: bool = False):
+        """prologue=(eff_scale, eff_bias, act|None) fuses the previous BN's
+        normalize+activation into this conv's input read, and
+        emit_stats=True makes the kernel reduce per-channel sum/sum² of the
+        (bias-free) output for the NEXT BatchNorm (ops/pallas_conv.py).
+        Callers must gate on fused_conv_supported — both kwargs require it.
+
+        Returns y, or (y_without_bias, stats_2xC, bias) when emit_stats.
+        """
         k = self.kernel_size
         fan_in = k * k * x.shape[-1]
         # params are declared directly on this module (path: <name>/kernel),
         # independent of which compute path the input shape selects
         kernel = self.param("kernel", torch_kernel_init,
                             (k, k, x.shape[-1], self.features))
-        if self.dtype is not None:
-            x = x.astype(self.dtype)
-        y = conv_apply(x, kernel.astype(x.dtype), self.stride, self.pad_mode)
+        bias = None
         if self.use_bias:
             bias = self.param("bias", torch_bias_init_for(fan_in),
                               (self.features,))
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+
+        if prologue is not None or emit_stats:
+            from tpusr.ops.pallas_conv import fused_conv3x3
+
+            es, eb, act_name = prologue if prologue is not None else (None, None, None)
+            out = fused_conv3x3(x, kernel, es, eb, act=act_name,
+                                pad_mode=self.pad_mode, stats=emit_stats,
+                                interpret=interpret)
+            if emit_stats:
+                y, st = out
+                return y, st, (bias if bias is not None
+                               else jnp.zeros((self.features,), jnp.float32))
+            y = out
+            if bias is not None:
+                y = y + bias.astype(y.dtype)
+            return y
+
+        y = conv_apply(x, kernel.astype(x.dtype), self.stride, self.pad_mode)
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
@@ -205,22 +233,51 @@ class BatchNorm(nn.Module):
       update running stats with momentum 0.1 and the UNBIASED variance.
     * eval mode: normalize with running stats.
     Running stats live in the 'batch_stats' collection.
+
+    Fused-conv dataflow hooks (ops/pallas_conv.py):
+    * ``conv_stats=(sum, sumsq, n, conv_bias)`` — the producing conv already
+      reduced per-channel sum/sum² of its (bias-free) output in its epilogue,
+      so this BN skips its own whole-tensor reduction pass. The conv bias is
+      folded exactly: mean(y+b) = sum/n + b, var is shift-invariant, and the
+      affine applied to the UNBIASED tensor absorbs the +b term.
+    * ``return_affine=True`` — return (eff_scale, eff_bias) in f32 instead of
+      normalizing, so the CONSUMING fused conv applies them in its prologue
+      (one HBM pass instead of a separate normalize+activation write).
     """
 
     momentum: float = 0.1
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, x, use_running_average: bool = False):
+    def __call__(self, x, use_running_average: bool = False, *,
+                 conv_stats=None, return_affine: bool = False):
         c = x.shape[-1]
         scale = self.param("scale", lambda k, s: jnp.ones(s), (c,))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (c,))
         ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros(c))
         ra_var = self.variable("batch_stats", "var", lambda: jnp.ones(c))
 
+        # mean seen by the affine is the mean of the tensor x AS PASSED —
+        # when conv_stats carries a pending (un-added) conv bias, the true
+        # BN mean is m_raw + b but x itself is bias-free, so the affine
+        # uses m_raw and the running stats store m_raw + b.
+        pending = 0.0
         in_dtype = x.dtype
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
+            if conv_stats is not None:
+                pending = conv_stats[3]
+        elif conv_stats is not None:
+            s, ss, n, cb = conv_stats
+            m_raw = s / n
+            var = jnp.maximum(ss / n - jnp.square(m_raw), 0.0)
+            mean = m_raw + cb
+            pending = cb
+            if not self.is_initializing():
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
             # Stats accumulate in f32 WITHOUT materializing an f32 copy of
             # the tensor (a full-size cast costs 2 extra HBM passes per BN
@@ -239,9 +296,11 @@ class BatchNorm(nn.Module):
 
         # fold scale/offset into one fused multiply-add in the input dtype
         inv = jax.lax.rsqrt(var + self.eps)
-        eff_scale = (inv * scale).astype(in_dtype)
-        eff_bias = (bias - mean * inv * scale).astype(in_dtype)
-        return x * eff_scale + eff_bias
+        eff_scale = inv * scale
+        eff_bias = bias - (mean - pending) * inv * scale
+        if return_affine:
+            return eff_scale, eff_bias
+        return x * eff_scale.astype(in_dtype) + eff_bias.astype(in_dtype)
 
 
 class SplitBatchNorm(nn.Module):
@@ -263,7 +322,8 @@ class SplitBatchNorm(nn.Module):
     eps: float = 1e-5
 
     @nn.compact
-    def __call__(self, xs, use_running_average: bool = False):
+    def __call__(self, xs, use_running_average: bool = False, *,
+                 return_affine: bool = False):
         c = sum(self.splits)
         scale = self.param("scale", lambda k, s: jnp.ones(s), (c,))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (c,))
@@ -287,9 +347,15 @@ class SplitBatchNorm(nn.Module):
             sc = jax.lax.dynamic_slice_in_dim(scale, off, ci)
             bi = jax.lax.dynamic_slice_in_dim(bias, off, ci)
             inv = jax.lax.rsqrt(var + self.eps)
-            eff_scale = (inv * sc).astype(in_dtype)
-            eff_bias = (bi - mean * inv * sc).astype(in_dtype)
-            outs.append(x * eff_scale + eff_bias)
+            eff_scale = inv * sc
+            eff_bias = bi - mean * inv * sc
+            if return_affine:
+                # consumer (SplitConv prologue) applies the normalize —
+                # saves a whole-tensor write per part on the fused path
+                outs.append((eff_scale, eff_bias))
+            else:
+                outs.append(x * eff_scale.astype(in_dtype)
+                            + eff_bias.astype(in_dtype))
             off += ci
 
         if not use_running_average and not self.is_initializing():
@@ -317,18 +383,32 @@ class SplitConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, xs):
+    def __call__(self, xs, *, prologues=None, interpret: bool = False):
+        """prologues: per-part (eff_scale, eff_bias) from a SplitBatchNorm
+        with return_affine=True. Parts whose shape the Pallas kernel accepts
+        apply theirs inside the fused conv read; the rest apply it as an
+        explicit FMA first (same math)."""
+        from tpusr.ops.pallas_conv import fused_conv3x3, fused_conv_supported
+
         k = self.kernel_size
         cin = sum(self.splits)
         kernel = self.param("kernel", torch_kernel_init,
                             (k, k, cin, self.features))
         y = None
         off = 0
-        for x, ci in zip(xs, self.splits):
+        for idx, (x, ci) in enumerate(zip(xs, self.splits)):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
-            part = conv_apply(x, kernel[:, :, off:off + ci, :].astype(x.dtype),
-                              self.stride, self.pad_mode)
+            pro = prologues[idx] if prologues is not None else None
+            if pro is not None and fused_conv_supported(x.shape, k, self.stride):
+                part = fused_conv3x3(
+                    x, kernel[:, :, off:off + ci, :], pro[0], pro[1],
+                    act=None, pad_mode=self.pad_mode, interpret=interpret)
+            else:
+                if pro is not None:
+                    x = x * pro[0].astype(x.dtype) + pro[1].astype(x.dtype)
+                part = conv_apply(x, kernel[:, :, off:off + ci, :].astype(x.dtype),
+                                  self.stride, self.pad_mode)
             y = part if y is None else y + part
             off += ci
         if self.use_bias:

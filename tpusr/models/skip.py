@@ -54,15 +54,43 @@ class SkipNet(nn.Module):
     need1x1_up: bool = True
     downsample_mode: str = "stride"  # 'stride' | 'avg' | 'max' (utils.py:83-94)
     dtype: str | None = None  # 'bfloat16' for mixed-precision compute
+    # 'auto' fuses BN+act into the Pallas conv read on TPU backends (same
+    # math, one HBM pass per block; ops/pallas_conv.py); 'off' keeps the
+    # pure-XLA path; 'interpret' forces the fused dataflow through the
+    # Pallas interpreter (CPU tests of the fused wiring).
+    conv_fusion: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
+        from tpusr.ops.pallas_conv import (
+            fused_conv_available,
+            fused_conv_supported,
+        )
+
         n_scales = len(self.num_channels_down)
         act = activation(self.act_fun)
         ura = not train
         dt = jnp.dtype(self.dtype) if self.dtype else None
         if dt is not None:
             x = x.astype(dt)
+
+        import os
+        # env overrides the attribute: A/B benching ('off') and CPU-side
+        # trace debugging ('interpret') without touching call sites
+        fusion = os.environ.get("TPUSR_CONV_FUSION") or self.conv_fusion
+        interp = fusion == "interpret"
+        prologue_act = "leaky_relu" if self.act_fun == "LeakyReLU" else None
+
+        def fuse_ok(shape, ksize):
+            if fusion == "off" or ksize != 3:
+                return False
+            if self.act_fun not in ("LeakyReLU", "none"):
+                return False
+            if self.pad not in ("zero", "reflection"):
+                return False
+            if not fused_conv_supported(shape, 3, 1):
+                return False
+            return interp or fused_conv_available()
 
         def conv(features, ksize, name, stride=1):
             return Conv(features, ksize, stride=stride,
@@ -88,10 +116,24 @@ class SkipNet(nn.Module):
                 d = conv(self.num_channels_down[i], self.filter_size_down,
                          f"down{i}_conv1")(h)
                 d = pool2x2(d, self.downsample_mode)
-            d = act(BatchNorm(name=f"down{i}_bn1")(d, ura))
-            d = conv(self.num_channels_down[i], self.filter_size_down,
-                     f"down{i}_conv2")(d)
-            d = act(BatchNorm(name=f"down{i}_bn2")(d, ura))
+            if fuse_ok(d.shape, self.filter_size_down):
+                # BN1's normalize+act ride conv2's prologue; conv2's stats
+                # epilogue replaces BN2's whole-tensor reduction. Same math
+                # (tests/test_skip_fusion.py), 3 fewer HBM passes per level.
+                es, eb = BatchNorm(name=f"down{i}_bn1")(
+                    d, ura, return_affine=True)
+                d2, st, b2 = conv(
+                    self.num_channels_down[i], self.filter_size_down,
+                    f"down{i}_conv2")(d, prologue=(es, eb, prologue_act),
+                                      emit_stats=True, interpret=interp)
+                n = d2.size // d2.shape[-1]
+                d = act(BatchNorm(name=f"down{i}_bn2")(
+                    d2, ura, conv_stats=(st[0], st[1], n, b2)))
+            else:
+                d = act(BatchNorm(name=f"down{i}_bn1")(d, ura))
+                d = conv(self.num_channels_down[i], self.filter_size_down,
+                         f"down{i}_conv2")(d)
+                d = act(BatchNorm(name=f"down{i}_bn2")(d, ura))
 
             if not last:
                 d = level(i + 1, d)
@@ -106,10 +148,26 @@ class SkipNet(nn.Module):
             # (3,3,132,128)) and compute identical math on the parts.
             parts = center_crop_to_min(branches)
             widths = tuple(p.shape[-1] for p in parts)
-            parts = SplitBatchNorm(widths, name=f"merge{i}_bn")(parts, ura)
-            z = SplitConv(self.num_channels_up[i], self.filter_size_up,
-                          widths, use_bias=self.need_bias, pad_mode=self.pad,
-                          dtype=dt, name=f"up{i}_conv")(parts)
+            # the 128-wide trunk part at full resolution is the single
+            # biggest conv in the net — when it fits the Pallas kernel, the
+            # merge-BN affine rides the conv read (no act between the merge
+            # BN and the up conv in the reference, skip.py:51+:79)
+            if (fusion != "off" and self.filter_size_up == 3
+                    and self.pad in ("zero", "reflection")
+                    and any(fuse_ok(p.shape, 3) for p in parts)):
+                affines = SplitBatchNorm(widths, name=f"merge{i}_bn")(
+                    parts, ura, return_affine=True)
+                z = SplitConv(self.num_channels_up[i], self.filter_size_up,
+                              widths, use_bias=self.need_bias,
+                              pad_mode=self.pad, dtype=dt,
+                              name=f"up{i}_conv")(parts, prologues=affines,
+                                                  interpret=interp)
+            else:
+                parts = SplitBatchNorm(widths, name=f"merge{i}_bn")(parts, ura)
+                z = SplitConv(self.num_channels_up[i], self.filter_size_up,
+                              widths, use_bias=self.need_bias,
+                              pad_mode=self.pad, dtype=dt,
+                              name=f"up{i}_conv")(parts)
             z = act(BatchNorm(name=f"up{i}_bn")(z, ura))
             if self.need1x1_up:
                 z = conv(self.num_channels_up[i], 1, f"up{i}_conv1x1")(z)
@@ -136,9 +194,11 @@ def build_dip_net(
     num_scales: int = 5,
     downsample_mode: str = "stride",
     dtype: str | None = None,
+    conv_fusion: str = "auto",
 ) -> SkipNet:
     """The DIP.py:169-174 configuration (get_net parity)."""
     return SkipNet(
+        conv_fusion=conv_fusion,
         num_input_channels=input_depth,
         num_output_channels=n_channels,
         num_channels_down=(skip_n33d,) * num_scales,

@@ -41,10 +41,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile_h(H: int) -> int:
-    """Largest row-tile <= 64 that divides H (VMEM budget ~ a few MB)."""
+def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
+    """Largest row-tile dividing H whose working set fits the ~16 MB VMEM:
+    input window (TH+2,W,Cin) + 2 shifted value copies + f32 accumulator +
+    output block, with headroom for Mosaic temporaries."""
+    budget = 11 * 1024 * 1024
     for th in (64, 32, 16, 8):
-        if H % th == 0:
+        if H % th != 0:
+            continue
+        win = (th + 2) * W * Cin * isz
+        acc = th * W * Cout * 4
+        out = th * W * Cout * isz
+        if 3 * win + acc + out <= budget:
             return th
     return 0
 
@@ -54,13 +62,17 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
     i = pl.program_id(0)
     nprog = H // TH  # static
 
+    # Mosaic alignment rule (found on hardware): DMA destinations and memref
+    # slices must not carry a sublane (second-minor) offset — the scratch is
+    # therefore FULL-WIDTH (TH+2, W, Cin) with row halos in dim 0 (untiled),
+    # and the +/-1 column shifts happen at the VALUE level below.
     def _copy(src_rows, dst_rows):
         dma = pltpu.make_async_copy(x_hbm.at[0, src_rows],
-                                    win.at[dst_rows, pl.ds(1, W)], sem)
+                                    win.at[dst_rows], sem)
         dma.start()
         dma.wait()
 
-    # --- load the (TH+2, W, Cin) input window rows [i*TH-1, i*TH+TH+1) ---
+    # --- load input rows [i*TH-1, i*TH+TH+1) into win rows ---
     # reflect halos are filled from real rows BEFORE the prologue (the
     # elementwise prologue commutes with reflection); zero halos are
     # written AFTER it (affine(0) = eff_bias != 0 must not leak in).
@@ -86,23 +98,19 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
             if reflect:
                 win[TH + 1] = win[TH - 1]
 
-    if reflect:
-        win[:, 0] = win[:, 2]
-        win[:, W + 1] = win[:, W - 1]
-
     # --- prologue: previous block's BN-affine + activation (in place) ---
     if affine or act:
         a0 = win[:]
         if affine:
             a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
         if act == "leaky_relu":
-            a0 = jnp.where(a0 >= 0, a0, 0.2 * a0)
+            # max/min form: bf16 vector compares (jnp.where) don't lower on
+            # this target; maximum/minimum do, and the math is identical.
+            zero = jnp.zeros((), a0.dtype)
+            a0 = jnp.maximum(a0, zero) + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero)
         win[:] = a0
 
     if not reflect:
-        zc = jnp.zeros_like(win[:, 0])
-        win[:, 0] = zc
-        win[:, W + 1] = zc
         if nprog == 1:
             win[0] = jnp.zeros_like(win[0])
             win[TH + 1] = jnp.zeros_like(win[TH + 1])
@@ -115,17 +123,28 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
             def _():
                 win[TH + 1] = jnp.zeros_like(win[TH + 1])
 
-    a = win[:]
+    # --- column-shifted views (value level; post-prologue so zero columns
+    # stay exactly zero and reflection commutes with the elementwise ops) ---
+    am = win[:]
+    if reflect:
+        lcol = am[:, 1:2]
+        rcol = am[:, W - 2:W - 1]
+    else:
+        lcol = jnp.zeros_like(am[:, 0:1])
+        rcol = lcol
+    al = jnp.concatenate([lcol, am[:, :W - 1]], axis=1)   # column dx = -1
+    ar = jnp.concatenate([am[:, 1:], rcol], axis=1)       # column dx = +1
 
     # --- 3x3 conv: 9 MXU matmuls, f32 accumulation ---
-    acc = jnp.zeros((TH * W, w_ref.shape[-1]), jnp.float32)
+    dn = (((2,), (0,)), ((), ()))  # contract channel dim
+    acc = jnp.zeros((TH, W, w_ref.shape[-1]), jnp.float32)
     for dy in range(3):
-        for dx in range(3):
-            patch = a[dy:dy + TH, dx:dx + W].reshape(TH * W, Cin)
-            acc = acc + jnp.dot(patch, w_ref[dy, dx],
-                                preferred_element_type=jnp.float32)
+        for dx, src in ((0, al), (1, am), (2, ar)):
+            acc = acc + jax.lax.dot_general(
+                src[dy:dy + TH], w_ref[dy, dx], dn,
+                preferred_element_type=jnp.float32)
 
-    y = acc.reshape(1, TH, W, w_ref.shape[-1])
+    y = acc[None]
     y_ref[:] = y.astype(y_ref.dtype)
     if stats:
         stat_ref[0, 0] = jnp.sum(y, axis=(0, 1, 2))
@@ -135,7 +154,10 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
 def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
-    TH = _pick_tile_h(H)
+    TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize)
+    if TH == 0:  # nothing fits VMEM at this width — XLA reference path
+        return _fused_ref(x, w, es, eb, affine=affine, act=act,
+                          reflect=reflect, stats=stats)
     n = H // TH
     kern = functools.partial(
         _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin,
@@ -152,7 +174,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
         kern,
         grid=(n,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),   # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
             pl.BlockSpec(memory_space=pltpu.VMEM),  # w
             pl.BlockSpec(memory_space=pltpu.VMEM),  # es
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
@@ -160,7 +182,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
         out_shape=out_shapes,
         out_specs=out_specs,
         scratch_shapes=[
-            pltpu.VMEM((TH + 2, W + 2, Cin), x.dtype),
+            pltpu.VMEM((TH + 2, W, Cin), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
@@ -206,22 +228,87 @@ def _fused_conv(x, w, es, eb, affine, act, reflect, stats, interpret):
 
 def _fused_conv_fwd(x, w, es, eb, affine, act, reflect, stats, interpret):
     out = _fused_conv(x, w, es, eb, affine, act, reflect, stats, interpret)
-    return out, (x, w, es, eb)
+    y = out[0] if stats else out
+    # y rides the residuals only for the stats cotangent (sum/sum² backprop
+    # needs the primal output); it is already materialized in HBM.
+    return out, (x, w, es, eb, y if stats else None)
 
 
 def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
-    # Stage-A backward: VJP of the XLA reference (correct by construction;
-    # Pallas dgrad/wgrad kernels replace this in the next stage).
-    x, w, es, eb = res
+    """Hand-built backward: exactly one dgrad conv + one wgrad conv + fused
+    elementwise — no forward recompute. The earlier jax.vjp(_fused_ref)
+    backward re-ran the whole forward (pad + conv + stats) just to build the
+    tape; conv transposes are linear, so jax.linear_transpose gives the
+    pad+conv cotangent directly (reflect-pad boundary folds included)."""
+    x, w, es, eb, y = res
+    if stats:
+        gy, gst = g
+        # y-stats cotangent: d(sum)/dy = 1, d(sum²)/dy = 2y, both f32 in fwd
+        G = (gy.astype(jnp.float32) + gst[0] + 2.0 * y.astype(jnp.float32)
+             * gst[1]).astype(gy.dtype)
+    else:
+        G = g
 
-    def f(x, w, es, eb):
-        y, st = _fused_ref(x, w, es, eb, affine=affine, act=act,
-                           reflect=reflect, stats=stats)
-        return (y, st) if stats else y
+    # prologue primal pieces (cheap elementwise; fused by XLA)
+    if affine:
+        a0 = x * es.astype(x.dtype) + eb.astype(x.dtype)
+    else:
+        a0 = x
+    if act == "leaky_relu":
+        pa = jnp.where(a0 >= 0, a0, 0.2 * a0)
+        aprime = jnp.where(a0 >= 0, jnp.asarray(1.0, x.dtype),
+                           jnp.asarray(0.2, x.dtype))
+    else:
+        pa = a0
+        aprime = None
 
-    _, vjp = jax.vjp(f, x, w, es, eb)
-    dx, dw, des, deb = vjp(g)
-    if not affine:
+    mode = "reflect" if reflect else "constant"
+    dn = ("NHWC", "HWIO", "NHWC")
+    wd = w.astype(x.dtype)
+
+    # dgrad IS a forward conv: SAME-conv of G with the rotated/transposed
+    # kernel — routed through conv_apply so it rides the banded fast path.
+    # T = VALID conv over G zero-padded by 2 (shape H+2, W+2) carries the
+    # virtual-border cotangents; reflect-pad's transpose FOLDS those borders
+    # into rows/cols 1 and n-2, zero-pad's transpose drops them.
+    from tpusr.models.layers import conv_apply
+
+    w_rot = wd[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,Cout,Cin)
+    H, W = x.shape[1], x.shape[2]
+    if reflect:
+        Gp = jnp.pad(G, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        T = conv_apply(Gp, w_rot, 1, "zero")          # (1, H+2, W+2, Cin)
+        Tc = T[:, :, 1:-1]                            # drop virtual cols...
+        Tc = Tc.at[:, :, 1].add(T[:, :, 0])           # ...folding them in
+        Tc = Tc.at[:, :, W - 2].add(T[:, :, W + 1])
+        dpa = Tc[:, 1:-1]
+        dpa = dpa.at[:, 1].add(Tc[:, 0])
+        dpa = dpa.at[:, H - 2].add(Tc[:, H + 1])
+    else:
+        dpa = conv_apply(G, w_rot, 1, "zero")
+
+    # wgrad: conv is linear in w too
+    app = jnp.pad(pa, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+
+    def conv_in_w(w_):
+        return jax.lax.conv_general_dilated(app, w_, (1, 1), "VALID",
+                                            dimension_numbers=dn)
+
+    dw, = jax.linear_transpose(conv_in_w, jax.ShapeDtypeStruct(wd.shape, wd.dtype))(G)
+
+    # prologue backward
+    if act == "leaky_relu":
+        dpre = dpa * aprime
+    else:
+        dpre = dpa
+    if affine:
+        dx = dpre * es.astype(x.dtype)
+        red = (0, 1, 2)
+        des = jnp.sum(dpre.astype(jnp.float32) * x.astype(jnp.float32),
+                      axis=red)
+        deb = jnp.sum(dpre.astype(jnp.float32), axis=red)
+    else:
+        dx = dpre
         des = jnp.zeros_like(es)
         deb = jnp.zeros_like(eb)
     return dx, dw, des, deb
@@ -245,6 +332,10 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     if eff_scale is None:
         eff_scale = jnp.ones((Cin,), jnp.float32)
         eff_bias = jnp.zeros((Cin,), jnp.float32)
+    # same-dtype MXU operands (mixed bf16xf32 matmuls don't lower); the cast
+    # sits inside the autodiff graph so dw accumulates back to f32, exactly
+    # like conv_apply's kernel.astype
+    w = w.astype(x.dtype)
     return _fused_conv(x, w, eff_scale, eff_bias, affine, act,
                        pad_mode == "reflection", stats, interpret)
 
@@ -255,4 +346,17 @@ def fused_conv_supported(x_shape, k: int, stride: int) -> bool:
         return False
     n, H, W, C = x_shape
     return (n == 1 and k == 3 and stride == 1 and C % 128 == 0
-            and H % 8 == 0 and H >= 64 and W >= 128 and W <= 1024)
+            and H % 8 == 0 and H >= 64 and W % 8 == 0
+            and W >= 64 and W <= 1024)
+
+
+@functools.lru_cache(maxsize=1)
+def fused_conv_available() -> bool:
+    """True when the default backend is a real TPU (incl. the tunneled
+    'axon' platform) — the compiled Pallas path only lowers there."""
+    try:
+        d = jax.devices()[0]
+        return d.platform in ("tpu", "axon") or "TPU" in str(
+            getattr(d, "device_kind", ""))
+    except Exception:
+        return False
