@@ -72,3 +72,24 @@ def test_generator_eval_forward_full_image():
     y = generator_forward(state.params_G, state.stats_G, x, CFG, train=False)
     assert y.shape == (1, 64, 96, 3)
     assert float(jnp.max(jnp.abs(y))) <= 1.0
+
+
+def test_adv_weight_scales_adversarial_term():
+    """adv_weight=0 == pure content training; the G loss gap between
+    weight 0 and 1 is exactly the adversarial BCE (losses.perceptual_loss)."""
+    import dataclasses
+
+    from tpusr.engine import losses as L
+
+    lr, hr = _batch()
+    cfg0 = dataclasses.replace(CFG, adv_weight=0.0)
+    state = create_gan_state(jax.random.key(0), CFG, 1e-4)
+    _, logs1 = gan_train_step(state, lr, hr, CFG, 1e-4)
+    _, logs0 = gan_train_step(state, lr, hr, cfg0, 1e-4)
+    gap = float(logs1["loss_G"] - logs0["loss_G"])
+    assert gap > 0  # BCE(fake, ones) is strictly positive
+    # weight 0.5 sits exactly halfway
+    cfg_h = dataclasses.replace(CFG, adv_weight=0.5)
+    _, logs_h = gan_train_step(state, lr, hr, cfg_h, 1e-4)
+    np.testing.assert_allclose(float(logs_h["loss_G"] - logs0["loss_G"]),
+                               gap / 2, rtol=1e-4)

@@ -61,3 +61,46 @@ def test_supported_shapes():
     assert not fused_conv_supported((1, 512, 512, 128), 3, 2)  # stride
     assert not fused_conv_supported((1, 512, 512, 128), 1, 1)  # k
     assert not fused_conv_supported((1, 30, 512, 128), 3, 1)   # tiny H
+
+
+@pytest.mark.parametrize("cin,cout", [(32, 96), (64, 192), (32, 64)])
+def test_small_c_tap_grouping(cin, cout):
+    """Cin<128 packs 128//Cin taps per MXU pass — math identical."""
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.05, jnp.float32)
+    y = fused_conv3x3(x, w, pad_mode="zero", interpret=True)
+    ref, _ = _fused_ref(x, w, None, None, affine=False, act=None,
+                        reflect=False, stats=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_hpad_rows():
+    """H not divisible by 8: zero row-padding reproduces zero-SAME exactly."""
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.standard_normal((1, 66, 64, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.05, jnp.float32)
+    assert fused_conv_supported(x.shape, 3, 1, allow_hpad=True)
+    assert not fused_conv_supported(x.shape, 3, 1)
+    y = fused_conv3x3(x, w, pad_mode="zero", interpret=True)
+    ref, _ = _fused_ref(x, w, None, None, affine=False, act=None,
+                        reflect=False, stats=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_rrdb_fused_matches_off(monkeypatch):
+    """Whole RRDBNet through the interpret fused path == XLA path."""
+    from tpusr.models.rrdb import RRDBNet
+
+    net = RRDBNet(nf=64, nb=1, gc=32, scale=2)
+    x = jnp.asarray(np.random.default_rng(7).random((1, 64, 64, 3)),
+                    jnp.float32)
+    v = net.init(jax.random.key(0), x)
+    monkeypatch.setenv("TPUSR_CONV_FUSION", "off")
+    y0 = net.apply(v, x)
+    monkeypatch.setenv("TPUSR_CONV_FUSION", "interpret")
+    y1 = net.apply(v, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=2e-4, atol=2e-5)

@@ -224,6 +224,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "without the grouped-conv vmap penalty")
     parser.add_argument("--profile_dir", type=str,
                         help="emit a jax.profiler trace to this directory")
+    parser.add_argument("--conv_fusion", type=str, default="auto",
+                        choices=["auto", "off"],
+                        help="Pallas fused conv+BN+act dataflow (auto: on "
+                             "for TPU backends; off: pure XLA)")
     return parser
 
 
@@ -265,6 +269,7 @@ def run(argv=None):
         input_method=args.input_method,
         opt_over=args.opt_over,
         resolve_clean=args.resolve_clean,
+        conv_fusion=args.conv_fusion,
     )
     if args.bucket and args.bucket % factor != 0:
         print(f"--bucket must be a multiple of the scale factor ({factor})")

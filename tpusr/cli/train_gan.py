@@ -190,6 +190,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--num_images", type=int, default=-1)
     parser.add_argument("--downsample", type=str2bool, default=False)
     parser.add_argument("--legacy_detach", type=str2bool, default=False)
+    parser.add_argument("--adv_weight", type=float, default=1.0,
+                        help="G-loss adversarial coefficient; 1.0 = the "
+                             "reference's unweighted sum (utils/GAN.py:121), "
+                             "1e-3 = the SRGAN paper's value (extension)")
     parser.add_argument("--checkpoint_every", type=int, default=0,
                         help="epochs between crash-resume checkpoints (0=off)")
     parser.add_argument("--resume", type=str,
@@ -243,6 +247,7 @@ def run(argv=None):
         fine_tune_lr=args.fine_tune_learning_rate,
         legacy_detach=args.legacy_detach,
         legacy_scale=args.legacy_scale,
+        adv_weight=args.adv_weight,
         dtype=None if args.dtype == "float32" else args.dtype,
     )
 

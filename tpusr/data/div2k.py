@@ -65,33 +65,46 @@ def get_image_pair(config: DatasetConfig, hr_name: str, rng: np.random.Generator
     """Load one (LR, HR, name) triple with the reference's exact rules.
 
     Returns float32 NHWC-single arrays (H, W, 3) in [0,1].
+
+    The decode+resize chain runs through the native C++ loader when built
+    (tpusr/native: libpng + Pillow's fixed-point bicubic, byte-identical to
+    the PIL path below and GIL-free for thread-parallel prep); PIL otherwise.
     """
+    from tpusr import native
+
     filename, _ = os.path.splitext(hr_name)
+    hr_path = os.path.join(config.HR_dir, hr_name)
+    lr_path = os.path.join(config.LR_dir, f"{filename}x8.png")
 
-    hr = Image.open(os.path.join(config.HR_dir, hr_name)).convert("RGB")
-    lr = Image.open(os.path.join(config.LR_dir, f"{filename}x8.png")).convert("RGB")
-
-    lr = _pil_shrink(lr, 2)
-    hr = _pil_shrink(hr, 2)
-    if config.downsample:
-        lr = _pil_shrink(lr, 2)
-
-    w_lr, h_lr = lr.size
-    w_hr = config.scale_factor * w_lr
-    h_hr = config.scale_factor * h_lr
-
-    if w_hr > hr.size[0] and h_hr > hr.size[1]:
-        w_hr = (hr.size[0] // config.scale_factor) * config.scale_factor
-        h_hr = (hr.size[1] // config.scale_factor) * config.scale_factor
-        w_lr = w_hr // config.scale_factor
-        h_lr = h_hr // config.scale_factor
-        hr = hr.resize((w_hr, h_hr), Image.BICUBIC)
-        lr = lr.resize((w_lr, h_lr), Image.BICUBIC)
+    if native.available():
+        lr_np, hr_np = native.load_pair(hr_path, lr_path,
+                                        config.scale_factor,
+                                        config.downsample)
     else:
-        hr = hr.resize((w_hr, h_hr), Image.BICUBIC)
+        hr = Image.open(hr_path).convert("RGB")
+        lr = Image.open(lr_path).convert("RGB")
 
-    lr_np = np.array(lr)
-    hr_np = np.array(hr)
+        lr = _pil_shrink(lr, 2)
+        hr = _pil_shrink(hr, 2)
+        if config.downsample:
+            lr = _pil_shrink(lr, 2)
+
+        w_lr, h_lr = lr.size
+        w_hr = config.scale_factor * w_lr
+        h_hr = config.scale_factor * h_lr
+
+        if w_hr > hr.size[0] and h_hr > hr.size[1]:
+            w_hr = (hr.size[0] // config.scale_factor) * config.scale_factor
+            h_hr = (hr.size[1] // config.scale_factor) * config.scale_factor
+            w_lr = w_hr // config.scale_factor
+            h_lr = h_hr // config.scale_factor
+            hr = hr.resize((w_hr, h_hr), Image.BICUBIC)
+            lr = lr.resize((w_lr, h_lr), Image.BICUBIC)
+        else:
+            hr = hr.resize((w_hr, h_hr), Image.BICUBIC)
+
+        lr_np = np.array(lr)
+        hr_np = np.array(hr)
 
     if config.noise_type is not None:
         if config.noise_type["type"] == "SaltAndPepper":

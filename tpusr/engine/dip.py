@@ -70,6 +70,10 @@ class DIPConfig:
     # still applied (DIP.py:102). resolve_clean=True uses the un-noised
     # input instead — usually slightly better PSNR (opt-in divergence).
     resolve_clean: bool = False
+    # Pallas fused-conv dataflow (models/skip.py): 'auto' on TPU backends,
+    # 'off' forces pure XLA. The vmapped batch path forces 'off' (pallas
+    # batching under vmap-over-params is not exercised).
+    conv_fusion: str = "auto"
 
 
 def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
@@ -82,6 +86,7 @@ def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
         skip_n11=config.skip_n11,
         num_scales=config.num_scales,
         dtype=None if config.dtype == "float32" else config.dtype,
+        conv_fusion=config.conv_fusion,
     )
     downsampler = Downsampler(
         n_planes=3, factor=config.factor, kernel_type="lanczos2",
@@ -348,6 +353,7 @@ def dip_superresolve_batch_bucketed(lr_images, hr_images, valid_hws, keys,
     per-device body of the multi-chip shard_map path (1 lane/device keeps
     the convs plain).
     """
+    config = dataclasses.replace(config, conv_fusion="off")
     fn = lambda lr, hr, v, k: _dip_core(lr, hr, k, config, lpips_fn,
                                         valid_hw=v)
     return jax.vmap(fn)(lr_images, hr_images,
@@ -381,5 +387,6 @@ def dip_superresolve_batch(lr_images, hr_images, keys, config: DIPConfig,
     (see tpusr/parallel/dip_batch.py), giving images-per-chip scaling with
     zero collectives (DIP is embarrassingly parallel).
     """
+    config = dataclasses.replace(config, conv_fusion="off")
     fn = lambda lr, hr, k: _dip_core(lr, hr, k, config, lpips_fn)
     return jax.vmap(fn)(lr_images, hr_images, keys)

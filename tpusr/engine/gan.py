@@ -49,6 +49,10 @@ class GANTrainConfig:
     legacy_scale: bool = False
     content: str = "auto"  # 'auto' | 'vgg' | 'mse'
     dtype: str | None = None  # 'bfloat16' activations (params stay f32)
+    # adversarial term coefficient in the G loss. 1.0 = the reference's
+    # unweighted sum (utils/GAN.py:121); 1e-3 = the SRGAN paper coefficient
+    # (opt-in extension — see losses.perceptual_loss)
+    adv_weight: float = 1.0
 
 
 class GANTrainState(struct.PyTreeNode):
@@ -145,7 +149,8 @@ def _train_step_core(
         # persisted here (the reference's third D stat update is dropped —
         # the D optimizer has already consumed this step's statistics).
         fake_logits, _ = d_apply(params_D, stats_D, adv_input)
-        loss = L.perceptual_loss(content_loss, fake_g, hr_patches, fake_logits)
+        loss = L.perceptual_loss(content_loss, fake_g, hr_patches, fake_logits,
+                                 adv_weight=config.adv_weight)
         return loss, st_g
 
     (loss_G, stats_G), grads_G = jax.value_and_grad(loss_G_fn, has_aux=True)(

@@ -68,6 +68,15 @@ def perceptual_loss(
     fake_images: jnp.ndarray,
     hr_images: jnp.ndarray,
     fake_logits: jnp.ndarray,
+    adv_weight: float = 1.0,
 ) -> jnp.ndarray:
-    """content + adversarial (utils/GAN.py:113-123)."""
-    return content_loss(fake_images, hr_images) + adversarial_loss(fake_logits)
+    """content + adv_weight * adversarial (utils/GAN.py:113-123).
+
+    The reference sums the terms unweighted (adv_weight=1.0, the default) —
+    but ALSO detaches the adversarial input (train_GAN.py:58), so its G
+    receives no adversarial gradient at all. With the detach fixed, weight
+    1.0 lets BCE (O(1-10)) swamp patch MSE (O(0.01)); ``--adv_weight 1e-3``
+    (the SRGAN paper's coefficient, Ledig et al. 2017 eq. 3) is the opt-in
+    extension for a usefully-weighted adversarial term."""
+    return (content_loss(fake_images, hr_images)
+            + adv_weight * adversarial_loss(fake_logits))

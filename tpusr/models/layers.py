@@ -165,6 +165,10 @@ class Conv(nn.Module):
     use_bias: bool = True
     pad_mode: str = "zero"  # 'zero' | 'reflection' | 'valid'
     dtype: Any = None  # compute dtype (params stay float32)
+    # route plain calls through the Pallas conv when the shape qualifies
+    # (TPU backends only; zero-pad H row-padding allowed) — opt-in per
+    # call site because vmap-over-params callers must keep the XLA path
+    auto_fuse: bool = False
 
     @nn.compact
     def __call__(self, x, *, prologue=None, emit_stats: bool = False,
@@ -189,6 +193,26 @@ class Conv(nn.Module):
                               (self.features,))
         if self.dtype is not None:
             x = x.astype(self.dtype)
+
+        if prologue is None and not emit_stats and self.auto_fuse:
+            from tpusr.ops.pallas_conv import (
+                fused_conv3x3,
+                fused_conv_available,
+                fused_conv_supported,
+            )
+            import os
+            mode = os.environ.get("TPUSR_CONV_FUSION", "auto")
+            hpad_ok = self.pad_mode == "zero"
+            if (mode != "off"
+                    and (mode == "interpret" or fused_conv_available())
+                    and self.pad_mode in ("zero", "reflection")
+                    and fused_conv_supported(x.shape, k, self.stride,
+                                             allow_hpad=hpad_ok)):
+                y = fused_conv3x3(x, kernel, pad_mode=self.pad_mode,
+                                  interpret=(mode == "interpret"))
+                if bias is not None:
+                    y = y + bias.astype(y.dtype)
+                return y
 
         if prologue is not None or emit_stats:
             from tpusr.ops.pallas_conv import fused_conv3x3

@@ -21,6 +21,8 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
+import os
+
 from tpusr.models.layers import (
     Conv,
     conv_apply,
@@ -28,6 +30,24 @@ from tpusr.models.layers import (
     torch_bias_init_for,
     torch_kernel_init,
 )
+
+
+def _conv3(x, kernel):
+    """Dense-block 3x3 zero-SAME conv: Pallas tap-grouped kernel on TPU
+    (small Cin packs 128//Cin taps per MXU pass — ops/pallas_conv.py),
+    conv_apply elsewhere. TPUSR_CONV_FUSION=off|interpret overrides."""
+    from tpusr.ops.pallas_conv import (
+        fused_conv3x3,
+        fused_conv_available,
+        fused_conv_supported,
+    )
+
+    mode = os.environ.get("TPUSR_CONV_FUSION", "auto")
+    if (mode != "off" and (mode == "interpret" or fused_conv_available())
+            and fused_conv_supported(x.shape, 3, 1, allow_hpad=True)):
+        return fused_conv3x3(x, kernel, pad_mode="zero",
+                             interpret=(mode == "interpret"))
+    return conv_apply(x, kernel, 1, "zero")
 
 
 class DenseBlock(nn.Module):
@@ -72,15 +92,11 @@ class DenseBlock(nn.Module):
         k1, k2, k3, k4, k5 = kernels
 
         if not self.packed:
-            c1 = leaky_relu(conv_apply(x, k1, 1, "zero") + b1, 0.2)
-            c2 = leaky_relu(conv_apply(jnp.concatenate([x, c1], -1), k2, 1,
-                                       "zero") + b2, 0.2)
-            c3 = leaky_relu(conv_apply(jnp.concatenate([x, c1, c2], -1), k3,
-                                       1, "zero") + b3, 0.2)
-            c4 = leaky_relu(conv_apply(jnp.concatenate([x, c1, c2, c3], -1),
-                                       k4, 1, "zero") + b4, 0.2)
-            c5 = conv_apply(jnp.concatenate([x, c1, c2, c3, c4], -1), k5, 1,
-                            "zero") + b5
+            c1 = leaky_relu(_conv3(x, k1) + b1, 0.2)
+            c2 = leaky_relu(_conv3(jnp.concatenate([x, c1], -1), k2) + b2, 0.2)
+            c3 = leaky_relu(_conv3(jnp.concatenate([x, c1, c2], -1), k3) + b3, 0.2)
+            c4 = leaky_relu(_conv3(jnp.concatenate([x, c1, c2, c3], -1), k4) + b4, 0.2)
+            c5 = _conv3(jnp.concatenate([x, c1, c2, c3, c4], -1), k5) + b5
             return x + 0.2 * c5
 
         # producer-packed kernels: W_src = concat of every consumer's slice
@@ -98,17 +114,17 @@ class DenseBlock(nn.Module):
                                sl(k5, nf + 2 * gc)], axis=-1)  # gc -> gc+nf
         w_4 = sl(k5, nf + 3 * gc)                              # gc -> nf
 
-        px = conv_apply(x, w_x, 1, "zero")
+        px = _conv3(x, w_x)
         c1 = leaky_relu(px[..., :gc] + b1, 0.2)
-        p1 = conv_apply(c1, w_1, 1, "zero")
+        p1 = _conv3(c1, w_1)
         c2 = leaky_relu(px[..., gc:2 * gc] + p1[..., :gc] + b2, 0.2)
-        p2 = conv_apply(c2, w_2, 1, "zero")
+        p2 = _conv3(c2, w_2)
         c3 = leaky_relu(px[..., 2 * gc:3 * gc] + p1[..., gc:2 * gc]
                         + p2[..., :gc] + b3, 0.2)
-        p3 = conv_apply(c3, w_3, 1, "zero")
+        p3 = _conv3(c3, w_3)
         c4 = leaky_relu(px[..., 3 * gc:4 * gc] + p1[..., 2 * gc:3 * gc]
                         + p2[..., gc:2 * gc] + p3[..., :gc] + b4, 0.2)
-        p4 = conv_apply(c4, w_4, 1, "zero")
+        p4 = _conv3(c4, w_4)
         c5 = (px[..., 4 * gc:] + p1[..., 3 * gc:] + p2[..., 2 * gc:]
               + p3[..., gc:] + p4 + b5)
         return x + 0.2 * c5
@@ -155,14 +171,17 @@ class RRDBNet(nn.Module):
         for i in range(self.nb):
             trunk = RRDB(self.nf, self.gc, self.dtype, self.packed,
                          name=f"rrdb{i}")(trunk)
-        trunk = Conv(self.nf, 3, dtype=self.dtype, name="trunk_conv")(trunk)
+        trunk = Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
+                     name="trunk_conv")(trunk)
         fea = fea + trunk
 
         n_up = self.scale.bit_length() - 1
         for i in range(n_up):
             fea = jnp.repeat(jnp.repeat(fea, 2, axis=1), 2, axis=2)
             fea = leaky_relu(
-                Conv(self.nf, 3, dtype=self.dtype, name=f"upconv{i + 1}")(fea), 0.2)
-        fea = leaky_relu(Conv(self.nf, 3, dtype=self.dtype, name="conv_hr")(fea), 0.2)
+                Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
+                     name=f"upconv{i + 1}")(fea), 0.2)
+        fea = leaky_relu(Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
+                          name="conv_hr")(fea), 0.2)
         out = Conv(self.out_channels, 3, dtype=self.dtype, name="conv_last")(fea)
         return out.astype(jnp.float32)

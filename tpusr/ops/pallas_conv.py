@@ -43,16 +43,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
     """Largest row-tile dividing H whose working set fits the ~16 MB VMEM:
-    input window (TH+2,W,Cin) + 2 shifted value copies + f32 accumulator +
-    output block, with headroom for Mosaic temporaries."""
+    input window (TH+2,W,Cin) + 2 shifted value copies + tap-group patch +
+    f32 accumulator + output block, with headroom for Mosaic temporaries."""
     budget = 11 * 1024 * 1024
     for th in (64, 32, 16, 8):
         if H % th != 0:
             continue
-        win = (th + 2) * W * Cin * isz
-        acc = th * W * Cout * 4
-        out = th * W * Cout * isz
-        if 3 * win + acc + out <= budget:
+        win = (th + 2) * W * max(Cin, 128) * isz  # <128 lanes pad to 128
+        patch = th * W * 128 * isz if Cin < 128 else 0
+        acc = th * W * max(Cout, 128) * 4
+        out = th * W * max(Cout, 128) * isz
+        if 3 * win + patch + acc + out <= budget:
             return th
     return 0
 
@@ -135,14 +136,28 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
     al = jnp.concatenate([lcol, am[:, :W - 1]], axis=1)   # column dx = -1
     ar = jnp.concatenate([am[:, 1:], rcol], axis=1)       # column dx = +1
 
-    # --- 3x3 conv: 9 MXU matmuls, f32 accumulation ---
+    # --- 3x3 conv on the MXU, f32 accumulation ---
+    # w_ref is (9, Cin, Cout), tap t = 3*dy + dx. For Cin < 128 the K dim
+    # of a per-tap matmul wastes the systolic array (Cin=32 fills 1/4), so
+    # taps are GROUPED: 128//Cin shifted inputs lane-concatenated to a
+    # 128-wide patch, matched by stacking the kernel rows — ceil(9C/128)
+    # MXU passes instead of 9 (2.5x fewer for C=32).
     dn = (((2,), (0,)), ((), ()))  # contract channel dim
+    taps = [(t // 3, (al, am, ar)[t % 3]) for t in range(9)]
+    g = max(1, 128 // Cin) if Cin < 128 else 1
     acc = jnp.zeros((TH, W, w_ref.shape[-1]), jnp.float32)
-    for dy in range(3):
-        for dx, src in ((0, al), (1, am), (2, ar)):
-            acc = acc + jax.lax.dot_general(
-                src[dy:dy + TH], w_ref[dy, dx], dn,
-                preferred_element_type=jnp.float32)
+    for t0 in range(0, 9, g):
+        grp = taps[t0:t0 + g]
+        if len(grp) == 1:
+            dy, src = grp[0]
+            patch = src[dy:dy + TH]
+            wg = w_ref[t0]
+        else:
+            patch = jnp.concatenate([src[dy:dy + TH] for dy, src in grp],
+                                    axis=-1)
+            wg = w_ref[pl.ds(t0, len(grp))].reshape(len(grp) * Cin, -1)
+        acc = acc + jax.lax.dot_general(patch, wg, dn,
+                                        preferred_element_type=jnp.float32)
 
     y = acc[None]
     y_ref[:] = y.astype(y_ref.dtype)
@@ -175,7 +190,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
         grid=(n,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # w (9, Cin, Cout)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # es
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
         ],
@@ -186,7 +201,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x, w, es, eb)
+    )(x, w.reshape(9, Cin, Cout), es, eb)
     if stats:
         return y, jnp.sum(parts, axis=0)
     return y, None
@@ -336,18 +351,38 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     # sits inside the autodiff graph so dw accumulates back to f32, exactly
     # like conv_apply's kernel.astype
     w = w.astype(x.dtype)
+    H = x.shape[1]
+    if H % 8 != 0:
+        # row-pad to the sublane tile. Appended zero rows ARE the zero-SAME
+        # halo for the last real row, so the cropped result is exact — but
+        # only without a prologue (affine(0)=eff_bias would leak into the
+        # halo) and without stats (they would count the pad rows).
+        assert pad_mode == "zero" and not affine and act is None and not stats, \
+            "H%8 row-padding requires a plain zero-pad conv"
+        hp = (8 - H % 8)
+        xp = jnp.pad(x, ((0, 0), (0, hp), (0, 0), (0, 0)))
+        y = _fused_conv(xp, w, eff_scale, eff_bias, affine, act,
+                        False, False, interpret)
+        return y[:, :H]
     return _fused_conv(x, w, eff_scale, eff_bias, affine, act,
                        pad_mode == "reflection", stats, interpret)
 
 
-def fused_conv_supported(x_shape, k: int, stride: int) -> bool:
-    """Shapes the Pallas path accepts (everything else -> conv_apply)."""
+def fused_conv_supported(x_shape, k: int, stride: int,
+                         allow_hpad: bool = False) -> bool:
+    """Shapes the Pallas path accepts (everything else -> conv_apply).
+
+    C: lane-tile multiples, or small-C powers (32/64) that the kernel
+    tap-groups onto full 128-wide MXU passes. allow_hpad admits H not
+    divisible by 8 — fused_conv3x3 zero-pads rows (zero-pad convs without
+    prologue/stats only)."""
     if len(x_shape) != 4:
         return False
     n, H, W, C = x_shape
-    return (n == 1 and k == 3 and stride == 1 and C % 128 == 0
-            and H % 8 == 0 and H >= 64 and W % 8 == 0
-            and W >= 64 and W <= 1024)
+    c_ok = C % 128 == 0 or C in (32, 64)
+    h_ok = (H % 8 == 0 or allow_hpad) and H >= 64
+    return (n == 1 and k == 3 and stride == 1 and c_ok
+            and h_ok and W % 8 == 0 and W >= 64 and W <= 1024)
 
 
 @functools.lru_cache(maxsize=1)
