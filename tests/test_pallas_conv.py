@@ -81,8 +81,8 @@ def test_hpad_rows():
     rng = np.random.default_rng(6)
     x = jnp.asarray(rng.standard_normal((1, 66, 64, 32)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, 32, 32)) * 0.05, jnp.float32)
-    assert fused_conv_supported(x.shape, 3, 1, allow_hpad=True)
-    assert not fused_conv_supported(x.shape, 3, 1)
+    assert fused_conv_supported(x.shape, 3, 1, allow_hpad=True, small_c=True)
+    assert not fused_conv_supported(x.shape, 3, 1, small_c=True)
     y = fused_conv3x3(x, w, pad_mode="zero", interpret=True)
     ref, _ = _fused_ref(x, w, None, None, affine=False, act=None,
                         reflect=False, stats=False)
@@ -104,3 +104,22 @@ def test_rrdb_fused_matches_off(monkeypatch):
     y1 = net.apply(v, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_small_c_padded_operand():
+    """128-lane zero-padded operand + logical (3,3,RC,M) kernel — the
+    compiled small-C convention (fused_conv3x3 docstring)."""
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((1, 64, 64, 32)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 32, 96)) * 0.05, jnp.float32)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 96)))
+    y = fused_conv3x3(xp, w, pad_mode="zero", interpret=True)
+    ref, _ = _fused_ref(x, w, None, None, affine=False, act=None,
+                        reflect=False, stats=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    # gradients flow through the padded operand (pad lanes get zero grad)
+    g = jax.grad(lambda xp: jnp.sum(fused_conv3x3(
+        xp, w, pad_mode="zero", interpret=True)))(xp)
+    assert float(jnp.abs(g[..., 32:]).max()) == 0.0
+    assert float(jnp.abs(g[..., :32]).max()) > 0.0

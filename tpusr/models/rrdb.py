@@ -43,10 +43,12 @@ def _conv3(x, kernel):
     )
 
     mode = os.environ.get("TPUSR_CONV_FUSION", "auto")
-    if (mode != "off" and (mode == "interpret" or fused_conv_available())
-            and fused_conv_supported(x.shape, 3, 1, allow_hpad=True)):
-        return fused_conv3x3(x, kernel, pad_mode="zero",
-                             interpret=(mode == "interpret"))
+    if mode != "off":
+        interp = mode == "interpret"
+        if ((interp or fused_conv_available())
+                and fused_conv_supported(x.shape, 3, 1, allow_hpad=True)):
+            return fused_conv3x3(x, kernel, pad_mode="zero",
+                                 interpret=interp)
     return conv_apply(x, kernel, 1, "zero")
 
 

@@ -59,7 +59,7 @@ def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
 
 
 def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
-                TH, H, W, Cin, reflect, affine, act, stats):
+                TH, H, W, Cin, RC, reflect, affine, act, stats):
     i = pl.program_id(0)
     nprog = H // TH  # static
 
@@ -126,7 +126,10 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
 
     # --- column-shifted views (value level; post-prologue so zero columns
     # stay exactly zero and reflection commutes with the elementwise ops) ---
-    am = win[:]
+    # Small-C operands arrive zero-padded to the 128-lane tile (Mosaic
+    # cannot DMA-slice a lane-padded HBM memref); drop the pad lanes at the
+    # VALUE level so tap-grouping packs only real channels.
+    am = win[:] if RC == Cin else win[:][:, :, :RC]
     if reflect:
         lcol = am[:, 1:2]
         rcol = am[:, W - 2:W - 1]
@@ -144,7 +147,7 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
     # MXU passes instead of 9 (2.5x fewer for C=32).
     dn = (((2,), (0,)), ((), ()))  # contract channel dim
     taps = [(t // 3, (al, am, ar)[t % 3]) for t in range(9)]
-    g = max(1, 128 // Cin) if Cin < 128 else 1
+    g = max(1, 128 // RC) if RC < 128 else 1
     acc = jnp.zeros((TH, W, w_ref.shape[-1]), jnp.float32)
     for t0 in range(0, 9, g):
         grp = taps[t0:t0 + g]
@@ -155,7 +158,7 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
         else:
             patch = jnp.concatenate([src[dy:dy + TH] for dy, src in grp],
                                     axis=-1)
-            wg = w_ref[pl.ds(t0, len(grp))].reshape(len(grp) * Cin, -1)
+            wg = w_ref[pl.ds(t0, len(grp))].reshape(len(grp) * RC, -1)
         acc = acc + jax.lax.dot_general(patch, wg, dn,
                                         preferred_element_type=jnp.float32)
 
@@ -169,13 +172,15 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
 def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
+    RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
     TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
-        return _fused_ref(x, w, es, eb, affine=affine, act=act,
+        xl = x if RC == Cin else x[..., :RC]
+        return _fused_ref(xl, w, es, eb, affine=affine, act=act,
                           reflect=reflect, stats=stats)
     n = H // TH
     kern = functools.partial(
-        _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin,
+        _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin, RC=RC,
         reflect=reflect, affine=affine, act=act, stats=stats)
     out_shapes = [jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
                   jax.ShapeDtypeStruct((n, 2, Cout), jnp.float32)]
@@ -201,10 +206,137 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x, w.reshape(9, Cin, Cout), es, eb)
+    )(x, w.reshape(9, RC, Cout), es, eb)
     if stats:
         return y, jnp.sum(parts, axis=0)
     return y, None
+
+
+# ------------------------------------------------------------ wgrad kernel
+def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
+                  TH, H, W, Cin, reflect, affine, act):
+    """dw[t] += patch_t(act(affine(x)))^T @ G per row tile.
+
+    Same halo/prologue structure as _fwd_kernel (the wgrad's input padding
+    IS the forward padding — no transpose folds needed); G arrives as an
+    aligned blocked VMEM operand; dw (9, Cin, Cout) f32 is one revisited
+    output block accumulated across the grid.
+    """
+    i = pl.program_id(0)
+    nprog = H // TH
+
+    def _copy(src_rows, dst_rows):
+        dma = pltpu.make_async_copy(x_hbm.at[0, src_rows],
+                                    win.at[dst_rows], sem)
+        dma.start()
+        dma.wait()
+
+    if nprog == 1:
+        _copy(pl.ds(0, TH), pl.ds(1, TH))
+        if reflect:
+            win[0] = win[2]
+            win[TH + 1] = win[TH - 1]
+    else:
+        @pl.when(i == 0)
+        def _():
+            _copy(pl.ds(0, TH + 1), pl.ds(1, TH + 1))
+            if reflect:
+                win[0] = win[2]
+
+        @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
+        def _():
+            _copy(pl.ds(i * TH - 1, TH + 2), pl.ds(0, TH + 2))
+
+        @pl.when(i == nprog - 1)
+        def _():
+            _copy(pl.ds(H - TH - 1, TH + 1), pl.ds(0, TH + 1))
+            if reflect:
+                win[TH + 1] = win[TH - 1]
+
+    if affine or act:
+        a0 = win[:]
+        if affine:
+            a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
+        if act == "leaky_relu":
+            zero = jnp.zeros((), a0.dtype)
+            a0 = (jnp.maximum(a0, zero)
+                  + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero))
+        win[:] = a0
+
+    if not reflect:
+        if nprog == 1:
+            win[0] = jnp.zeros_like(win[0])
+            win[TH + 1] = jnp.zeros_like(win[TH + 1])
+        else:
+            @pl.when(i == 0)
+            def _():
+                win[0] = jnp.zeros_like(win[0])
+
+            @pl.when(i == nprog - 1)
+            def _():
+                win[TH + 1] = jnp.zeros_like(win[TH + 1])
+
+    am = win[:]
+    if reflect:
+        lcol = am[:, 1:2]
+        rcol = am[:, W - 2:W - 1]
+    else:
+        lcol = jnp.zeros_like(am[:, 0:1])
+        rcol = lcol
+    al = jnp.concatenate([lcol, am[:, :W - 1]], axis=1)
+    ar = jnp.concatenate([am[:, 1:], rcol], axis=1)
+
+    g2 = g_ref[0].reshape(TH * W, g_ref.shape[-1])
+    # contract the TH*W dim: (N, Cin)^T @ (N, Cout) — K=TH*W fills the MXU
+    dn = (((0,), (0,)), ((), ()))
+    for t in range(9):
+        dy, src = t // 3, (al, am, ar)[t % 3]
+        patch = src[dy:dy + TH].reshape(TH * W, Cin)
+        part = jax.lax.dot_general(patch, g2, dn,
+                                   preferred_element_type=jnp.float32)
+        if nprog == 1:
+            dw_ref[t] = part
+        else:
+            @pl.when(i == 0)
+            def _(part=part, t=t):
+                dw_ref[t] = part
+
+            @pl.when(i > 0)
+            def _(part=part, t=t):
+                dw_ref[t] = dw_ref[t] + part
+
+
+def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret):
+    """(9, Cin, Cout) f32 kernel cotangent via the wgrad kernel."""
+    _, H, W, Cin = x.shape
+    Cout = g.shape[-1]
+    TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize)
+    if TH == 0:
+        return None
+    n = H // TH
+    kern = functools.partial(
+        _wgrad_kernel, TH=TH, H=H, W=W, Cin=Cin,
+        reflect=reflect, affine=affine, act=act)
+    dw9 = pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+            pl.BlockSpec((1, TH, W, Cout), lambda i: (0, i, 0, 0),
+                         memory_space=pltpu.VMEM),  # G, aligned blocks
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # es
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
+        ],
+        out_shape=jax.ShapeDtypeStruct((9, Cin, Cout), jnp.float32),
+        out_specs=pl.BlockSpec((9, Cin, Cout), lambda i: (0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2, W, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x, g, es, eb)
+    return dw9.reshape(3, 3, Cin, Cout)
 
 
 # ---------------------------------------------------------------- reference
@@ -249,13 +381,57 @@ def _fused_conv_fwd(x, w, es, eb, affine, act, reflect, stats, interpret):
     return out, (x, w, es, eb, y if stats else None)
 
 
+def _reflect_fold_corrections(dpa, G, wd):
+    """Add the reflect-pad-transpose boundary folds to a zero-SAME dgrad.
+
+    dgrad-with-reflect = fold(T) where T is the VALID transpose map over the
+    1-padded domain; its interior IS the zero-SAME dgrad (computed by the
+    Pallas kernel), and the virtual border rows/cols fold back into rows/
+    cols 1 and n-2: T[-1,v]=Σ_dx G[0,v+1-dx]·w[0,dx] (only dy=0 taps reach
+    above the top), etc. Strips are single-row/col 1x3 convs — negligible.
+    """
+    _, H, W, Ci = dpa.shape
+    dn1 = ("NWC", "WIO", "NWC")
+
+    def strip(row, wrow):  # row (1, L, Co), wrow (3, Ci, Co) -> (1, L, Ci)
+        k = wrow[::-1].transpose(0, 2, 1)  # (3, Co, Ci), flipped taps
+        return jax.lax.conv_general_dilated(row, k, (1,), ((1, 1),),
+                                            dimension_numbers=dn1)
+
+    top = strip(G[:, 0], wd[0])          # T[-1, v]
+    bot = strip(G[:, H - 1], wd[2])      # T[H, v]
+    left = strip(G[:, :, 0], wd[:, 0])   # T[u, -1]
+    right = strip(G[:, :, W - 1], wd[:, 2])  # T[u, W]
+    dpa = dpa.at[:, 1].add(top)
+    dpa = dpa.at[:, H - 2].add(bot)
+    dpa = dpa.at[:, :, 1].add(left)
+    dpa = dpa.at[:, :, W - 2].add(right)
+    # corners: both coordinates virtual
+    for (h, w_), (gy, gx), (ky, kx) in (
+            ((1, 1), (0, 0), (0, 0)),
+            ((1, W - 2), (0, W - 1), (0, 2)),
+            ((H - 2, 1), (H - 1, 0), (2, 0)),
+            ((H - 2, W - 2), (H - 1, W - 1), (2, 2))):
+        corner = jnp.einsum("o,co->c", G[0, gy, gx].astype(jnp.float32),
+                            wd[ky, kx].astype(jnp.float32)).astype(dpa.dtype)
+        dpa = dpa.at[0, h, w_].add(corner)
+    return dpa
+
+
 def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
     """Hand-built backward: exactly one dgrad conv + one wgrad conv + fused
-    elementwise — no forward recompute. The earlier jax.vjp(_fused_ref)
-    backward re-ran the whole forward (pad + conv + stats) just to build the
-    tape; conv transposes are linear, so jax.linear_transpose gives the
-    pad+conv cotangent directly (reflect-pad boundary folds included)."""
+    elementwise — no forward recompute. When shapes allow, BOTH convs run
+    as Pallas kernels: dgrad IS the forward kernel with the rotated/
+    transposed weights over G (zero-SAME; reflect adds the strip folds of
+    _reflect_fold_corrections), and wgrad is _wgrad_kernel (halo + prologue
+    recompute in VMEM, 9 transposed GEMMs with K=TH*W, grid-accumulated).
+    Profiled rationale: XLA lowered the wgrad linear-transpose to ~40 TF/s
+    reduce fusions plus a whole-tensor pad copy — together the largest ops
+    in the DIP step trace."""
     x, w, es, eb, y = res
+    pad_c = x.shape[-1] - w.shape[2]  # lane padding on the operand (small-C)
+    if pad_c:
+        x = x[..., :w.shape[2]]
     if stats:
         gy, gst = g
         # y-stats cotangent: d(sum)/dy = 1, d(sum²)/dy = 2y, both f32 in fwd
@@ -280,36 +456,51 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
     mode = "reflect" if reflect else "constant"
     dn = ("NHWC", "HWIO", "NHWC")
     wd = w.astype(x.dtype)
+    H, W = x.shape[1], x.shape[2]
+    Ci, Co = wd.shape[2], wd.shape[3]
 
-    # dgrad IS a forward conv: SAME-conv of G with the rotated/transposed
-    # kernel — routed through conv_apply so it rides the banded fast path.
-    # T = VALID conv over G zero-padded by 2 (shape H+2, W+2) carries the
-    # virtual-border cotangents; reflect-pad's transpose FOLDS those borders
-    # into rows/cols 1 and n-2, zero-pad's transpose drops them.
-    from tpusr.models.layers import conv_apply
+    pallas_ok = (not pad_c
+                 and fused_conv_supported(G.shape, 3, 1, small_c=False)
+                 and fused_conv_supported(x.shape, 3, 1, small_c=False)
+                 and _pick_tile_h(H, W, Co, Ci, x.dtype.itemsize) > 0
+                 and _pick_tile_h(H, W, Ci, Co, x.dtype.itemsize) > 0)
 
     w_rot = wd[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,Cout,Cin)
-    H, W = x.shape[1], x.shape[2]
-    if reflect:
-        Gp = jnp.pad(G, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        T = conv_apply(Gp, w_rot, 1, "zero")          # (1, H+2, W+2, Cin)
-        Tc = T[:, :, 1:-1]                            # drop virtual cols...
-        Tc = Tc.at[:, :, 1].add(T[:, :, 0])           # ...folding them in
-        Tc = Tc.at[:, :, W - 2].add(T[:, :, W + 1])
-        dpa = Tc[:, 1:-1]
-        dpa = dpa.at[:, 1].add(Tc[:, 0])
-        dpa = dpa.at[:, H - 2].add(Tc[:, H + 1])
+    if pallas_ok:
+        # dgrad = the forward kernel over G with rotated weights (zero-SAME)
+        dpa, _ = _fwd_pallas(G, w_rot, es, eb, affine=False, act=None,
+                             reflect=False, stats=False, interpret=interpret)
+        if reflect:
+            dpa = _reflect_fold_corrections(dpa, G, wd)
+        dw = _wgrad_pallas(x, G, es, eb, affine=affine, act=act,
+                           reflect=reflect, interpret=interpret)
+        dw = dw.astype(wd.dtype)
     else:
-        dpa = conv_apply(G, w_rot, 1, "zero")
+        # XLA path: dgrad as a forward conv through conv_apply's banded
+        # fast path; T's virtual borders fold back for reflect.
+        from tpusr.models.layers import conv_apply
 
-    # wgrad: conv is linear in w too
-    app = jnp.pad(pa, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+        if reflect:
+            Gp = jnp.pad(G, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            T = conv_apply(Gp, w_rot, 1, "zero")      # (1, H+2, W+2, Cin)
+            Tc = T[:, :, 1:-1]                        # drop virtual cols...
+            Tc = Tc.at[:, :, 1].add(T[:, :, 0])       # ...folding them in
+            Tc = Tc.at[:, :, W - 2].add(T[:, :, W + 1])
+            dpa = Tc[:, 1:-1]
+            dpa = dpa.at[:, 1].add(Tc[:, 0])
+            dpa = dpa.at[:, H - 2].add(Tc[:, H + 1])
+        else:
+            dpa = conv_apply(G, w_rot, 1, "zero")
 
-    def conv_in_w(w_):
-        return jax.lax.conv_general_dilated(app, w_, (1, 1), "VALID",
-                                            dimension_numbers=dn)
+        # wgrad: conv is linear in w too
+        app = jnp.pad(pa, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
 
-    dw, = jax.linear_transpose(conv_in_w, jax.ShapeDtypeStruct(wd.shape, wd.dtype))(G)
+        def conv_in_w(w_):
+            return jax.lax.conv_general_dilated(app, w_, (1, 1), "VALID",
+                                                dimension_numbers=dn)
+
+        dw, = jax.linear_transpose(
+            conv_in_w, jax.ShapeDtypeStruct(wd.shape, wd.dtype))(G)
 
     # prologue backward
     if act == "leaky_relu":
@@ -326,6 +517,8 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
         dx = dpre
         des = jnp.zeros_like(es)
         deb = jnp.zeros_like(eb)
+    if pad_c:
+        dx = jnp.pad(dx, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
     return dx, dw, des, deb
 
 
@@ -336,14 +529,27 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
                   pad_mode="reflection", stats=False, interpret=False):
     """y = conv3x3(act(x*eff_scale+eff_bias)) with in-kernel halo handling.
 
-    x: (1,H,W,Cin) bf16/f32; w: (3,3,Cin,Cout). Returns y or (y, stats2xC)
-    where stats = [sum(y), sum(y^2)] per channel (f32). Differentiable via
-    custom VJP. Requires H divisible by 8 and C multiples of 128 for the
-    TPU path; callers gate on `fused_conv_supported`.
+    x: (1,H,W,Cin) bf16/f32; w: (3,3,RC,Cout) with RC <= Cin. Returns y or
+    (y, stats2xC) where stats = [sum(y), sum(y^2)] per channel (f32).
+    Differentiable via custom VJP. Callers gate on `fused_conv_supported`.
+
+    Small-C convention: Mosaic cannot DMA-slice lane-padded (<128 ch) HBM
+    operands, so RC in (32, 64) rides as a 128-lane operand — either the
+    caller passes x already zero-padded to 128 channels (free when the
+    producer emits it padded: a 32-ch tensor occupies 128 physical lanes in
+    HBM regardless), or this wrapper pads. The kernel drops the pad lanes
+    at the value level and tap-groups 128//RC shifted windows per MXU pass.
     """
     affine = eff_scale is not None
     Cin = x.shape[-1]
     Cout = w.shape[-1]
+    RC = w.shape[2]
+    if RC < Cin:
+        assert not affine, "lane-padded operands take no affine prologue"
+    elif RC in (32, 64) and not interpret:
+        assert not affine, "small-C path takes no affine prologue"
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - RC)))
+        Cin = 128
     if eff_scale is None:
         eff_scale = jnp.ones((Cin,), jnp.float32)
         eff_bias = jnp.zeros((Cin,), jnp.float32)
@@ -369,17 +575,22 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
 
 
 def fused_conv_supported(x_shape, k: int, stride: int,
-                         allow_hpad: bool = False) -> bool:
+                         allow_hpad: bool = False,
+                         small_c: bool = True) -> bool:
     """Shapes the Pallas path accepts (everything else -> conv_apply).
 
     C: lane-tile multiples, or small-C powers (32/64) that the kernel
-    tap-groups onto full 128-wide MXU passes. allow_hpad admits H not
-    divisible by 8 — fused_conv3x3 zero-pads rows (zero-pad convs without
-    prologue/stats only)."""
+    tap-groups onto full 128-wide MXU passes. Small-C operands ride as
+    128-lane zero-padded arrays (Mosaic cannot DMA-slice a lane-padded
+    HBM memref — "tpu.memref_slice ... 1x272x480x128 -> 1x9x480x64"
+    hardware failure); fused_conv3x3 handles the padding, which costs no
+    HBM bytes (a <128-ch tensor occupies full 128-lane tiles anyway).
+    allow_hpad admits H not divisible by 8 — fused_conv3x3 zero-pads rows
+    (zero-pad convs without prologue/stats only)."""
     if len(x_shape) != 4:
         return False
     n, H, W, C = x_shape
-    c_ok = C % 128 == 0 or C in (32, 64)
+    c_ok = C % 128 == 0 or (small_c and C in (32, 64))
     h_ok = (H % 8 == 0 or allow_hpad) and H >= 64
     return (n == 1 and k == 3 and stride == 1 and c_ok
             and h_ok and W % 8 == 0 and W >= 64 and W <= 1024)
