@@ -123,3 +123,34 @@ def test_small_c_padded_operand():
         xp, w, pad_mode="zero", interpret=True)))(xp)
     assert float(jnp.abs(g[..., 32:]).max()) == 0.0
     assert float(jnp.abs(g[..., :32]).max()) > 0.0
+
+
+@pytest.mark.parametrize("cin", [64, 128])
+def test_wide_image_2d_grid(cin):
+    """W > 1024 rides the 2-D-grid kernel (column-prepadded, zero-SAME)."""
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((1, 64, 1280, cin)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, cin, 64)) * 0.05, jnp.float32)
+    # wide shapes are NOT auto-routed (slower than XLA's banded conv on
+    # hardware) but the direct call must stay correct
+    assert not fused_conv_supported(x.shape, 3, 1)
+    y = fused_conv3x3(x, w, pad_mode="zero", interpret=True)
+    ref, _ = _fused_ref(x, w, None, None, affine=False, act=None,
+                        reflect=False, stats=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_wide_image_2d_grid_act():
+    """2-D path with a LeakyReLU prologue."""
+    rng = np.random.default_rng(10)
+    x = jnp.asarray(rng.standard_normal((1, 64, 1280, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    es = jnp.asarray(rng.uniform(0.5, 1.5, (128,)), jnp.float32)
+    eb = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    y = fused_conv3x3(x, w, es, eb, act="leaky_relu", pad_mode="zero",
+                      interpret=True)
+    ref, _ = _fused_ref(x, w, es, eb, affine=True, act="leaky_relu",
+                        reflect=False, stats=False)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -173,6 +173,13 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
     RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
+    if W > 1024:
+        if stats or reflect:  # no wide variant for these — XLA reference
+            xl = x if RC == Cin else x[..., :RC]
+            return _fused_ref(xl, w, es, eb, affine=affine, act=act,
+                              reflect=reflect, stats=stats)
+        return _fwd_pallas_2d(x, w, es, eb, affine=affine, act=act,
+                              reflect=reflect, interpret=interpret)
     TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
         xl = x if RC == Cin else x[..., :RC]
@@ -209,6 +216,151 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
     )(x, w.reshape(9, RC, Cout), es, eb)
     if stats:
         return y, jnp.sum(parts, axis=0)
+    return y, None
+
+
+def _pick_tile_w(W: int, H: int, Cin: int, Cout: int, isz: int) -> tuple[int, int]:
+    """(TH, TW) for the 2-D-grid kernel on wide images (W > 1024): largest
+    col tile (multiple of 8, dividing W) whose working set fits VMEM."""
+    budget = 11 * 1024 * 1024
+    for tw in (960, 768, 640, 512, 384, 320, 256, 192, 128):
+        if W % tw != 0:
+            continue
+        for th in (32, 16, 8):
+            if H % th != 0:
+                continue
+            win = (th + 2) * (tw + 16) * max(Cin, 128) * isz
+            patch = th * tw * 128 * isz if Cin < 128 else 0
+            acc = th * tw * max(Cout, 128) * 4
+            out = th * tw * max(Cout, 128) * isz
+            if 3 * win + patch + acc + out <= budget:
+                return th, tw
+    return 0, 0
+
+
+def _fwd_kernel_2d(x_hbm, w_ref, es_ref, eb_ref, y_ref, win, sem, *,
+                   TH, TW, H, Cin, RC, affine, act):
+    """2-D-grid fused conv over a COLUMN-PREPADDED input (x has 8 halo
+    columns each side, so every column DMA is an aligned interior window;
+    row halos keep the 3-case logic of _fwd_kernel). Zero/reflect column
+    semantics live in the prepadding; row zero-halos are written here.
+    No stats epilogue (partial sums across two grid dims aren't needed by
+    any current caller)."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    nprog = H // TH
+
+    def _copy(src_rows, dst_rows):
+        dma = pltpu.make_async_copy(
+            x_hbm.at[0, src_rows, pl.ds(j * TW, TW + 16)],
+            win.at[dst_rows], sem)
+        dma.start()
+        dma.wait()
+
+    if nprog == 1:
+        _copy(pl.ds(0, TH), pl.ds(1, TH))
+    else:
+        @pl.when(i == 0)
+        def _():
+            _copy(pl.ds(0, TH + 1), pl.ds(1, TH + 1))
+
+        @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
+        def _():
+            _copy(pl.ds(i * TH - 1, TH + 2), pl.ds(0, TH + 2))
+
+        @pl.when(i == nprog - 1)
+        def _():
+            _copy(pl.ds(H - TH - 1, TH + 1), pl.ds(0, TH + 1))
+
+    if affine or act:
+        a0 = win[:]
+        if affine:
+            a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
+        if act == "leaky_relu":
+            zero = jnp.zeros((), a0.dtype)
+            a0 = (jnp.maximum(a0, zero)
+                  + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero))
+        win[:] = a0
+
+    # top/bottom zero halos (zero-pad rows; the caller prepads reflect rows)
+    if nprog == 1:
+        win[0] = jnp.zeros_like(win[0])
+        win[TH + 1] = jnp.zeros_like(win[TH + 1])
+    else:
+        @pl.when(i == 0)
+        def _():
+            win[0] = jnp.zeros_like(win[0])
+
+        @pl.when(i == nprog - 1)
+        def _():
+            win[TH + 1] = jnp.zeros_like(win[TH + 1])
+
+    # image-edge column margins hold the zero prepad — re-zero them AFTER
+    # the prologue (affine(0) = eff_bias must not leak into the halo)
+    if affine or act:
+        ncols = pl.num_programs(1)
+
+        @pl.when(j == 0)
+        def _():
+            win[:, :8] = jnp.zeros_like(win[:, :8])
+
+        @pl.when(j == ncols - 1)
+        def _():
+            win[:, TW + 8:] = jnp.zeros_like(win[:, TW + 8:])
+
+    wv = win[:] if RC == Cin else win[:][:, :, :RC]
+
+    # 9 matmuls with patches sliced straight from the window value —
+    # dot_general relayouts odd-sublane-offset operands itself, whereas
+    # tpu.concatenate refuses mixed offsets (hardware compile failure when
+    # the 1-D kernel's concat-built shift values were used here). The cost
+    # is no tap-grouping in the 2-D path (K=RC per tap).
+    dn = (((2,), (0,)), ((), ()))
+    acc = jnp.zeros((TH, TW, w_ref.shape[-1]), jnp.float32)
+    for t in range(9):
+        dy, dx = t // 3, t % 3
+        patch = wv[dy:dy + TH, 7 + dx:7 + dx + TW]
+        acc = acc + jax.lax.dot_general(patch, w_ref[t], dn,
+                                        preferred_element_type=jnp.float32)
+    y_ref[:] = acc[None].astype(y_ref.dtype)
+
+
+def _fwd_pallas_2d(x, w, es, eb, *, affine, act, reflect, interpret):
+    """Wide-image (W > 1024) path: column-prepad by 8, 2-D grid."""
+    _, H, W, Cin = x.shape
+    Cout = w.shape[-1]
+    RC = w.shape[2]
+    TH, TW = _pick_tile_w(W, H, Cin, Cout, x.dtype.itemsize)
+    if TH == 0:
+        xl = x if RC == Cin else x[..., :RC]
+        return _fused_ref(xl, w, es, eb, affine=affine, act=act,
+                          reflect=reflect, stats=False)[0], None
+    # zero-pad only: the kernel writes zero ROW halos unconditionally, and
+    # the column prepad below supplies zero column halos. (Reflect would
+    # need row prepadding too — no wide reflect caller exists.)
+    assert not reflect, "wide-image 2D path is zero-pad only"
+    xp = jnp.pad(x, ((0, 0), (0, 0), (8, 8), (0, 0)))
+    kern = functools.partial(
+        _fwd_kernel_2d, TH=TH, TW=TW, H=H, Cin=Cin, RC=RC,
+        affine=affine, act=act)
+    y = pl.pallas_call(
+        kern,
+        grid=(H // TH, W // TW),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_shape=jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
+        out_specs=pl.BlockSpec((1, TH, TW, Cout), lambda i, j: (0, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((TH + 2, TW + 16, Cin), x.dtype),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(xp, w.reshape(9, RC, Cout), es, eb)
     return y, None
 
 
@@ -459,7 +611,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
     H, W = x.shape[1], x.shape[2]
     Ci, Co = wd.shape[2], wd.shape[3]
 
-    pallas_ok = (not pad_c
+    pallas_ok = (not pad_c and W <= 1024  # no wide wgrad kernel (yet)
                  and fused_conv_supported(G.shape, 3, 1, small_c=False)
                  and fused_conv_supported(x.shape, 3, 1, small_c=False)
                  and _pick_tile_h(H, W, Co, Ci, x.dtype.itemsize) > 0
@@ -592,8 +744,12 @@ def fused_conv_supported(x_shape, k: int, stride: int,
     n, H, W, C = x_shape
     c_ok = C % 128 == 0 or (small_c and C in (32, 64))
     h_ok = (H % 8 == 0 or allow_hpad) and H >= 64
-    return (n == 1 and k == 3 and stride == 1 and c_ok
-            and h_ok and W % 8 == 0 and W >= 64 and W <= 1024)
+    # W > 1024 has a working 2-D-grid variant (_fwd_pallas_2d, reachable by
+    # calling fused_conv3x3 directly) but measured SLOWER than XLA's banded
+    # conv at 1080p (odd-sublane-offset relayouts per matmul + unoverlapped
+    # DMA) — so wide shapes are not auto-routed.
+    w_ok = W % 8 == 0 and W >= 64 and W <= 1024
+    return n == 1 and k == 3 and stride == 1 and c_ok and h_ok and w_ok
 
 
 @functools.lru_cache(maxsize=1)
