@@ -430,7 +430,11 @@ class SplitConv(nn.Module):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
             pro = prologues[idx] if prologues is not None else None
-            if pro is not None and fused_conv_supported(x.shape, k, self.stride):
+            # small_c=False: this branch carries an affine prologue, which
+            # the tap-grouped 32/64-channel kernel rejects (trace-time
+            # assert on hardware); such parts take the explicit-FMA path
+            if pro is not None and fused_conv_supported(
+                    x.shape, k, self.stride, small_c=False):
                 part = fused_conv3x3(
                     x, kernel[:, :, off:off + ci, :], pro[0], pro[1],
                     act=None, pad_mode=self.pad_mode, interpret=interpret)

@@ -88,7 +88,10 @@ class SkipNet(nn.Module):
                 return False
             if self.pad not in ("zero", "reflection"):
                 return False
-            if not fused_conv_supported(shape, 3, 1):
+            # small_c=False: fuse_ok gates prologue/emit_stats call sites,
+            # and the tap-grouped 32/64-channel kernel takes no affine
+            # prologue (fused_conv3x3 asserts at trace time on hardware)
+            if not fused_conv_supported(shape, 3, 1, small_c=False):
                 return False
             return interp or fused_conv_available()
 

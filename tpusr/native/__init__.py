@@ -29,12 +29,21 @@ _tried = False
 def _build() -> str | None:
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
-    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", _SO,
+    # compile to a pid-unique temp then os.rename (atomic on one fs): two
+    # concurrent processes sharing the checkout must never CDLL a partially
+    # written .so
+    tmp = f"{_SO}.{os.getpid()}"
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-o", tmp,
            _SRC, "-lpng", "-lz"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.rename(tmp, _SO)
         return _SO
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

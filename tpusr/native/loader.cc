@@ -207,6 +207,7 @@ int tpusr_decode_png(const char* path, uint8_t** data, int* h, int* w) {
   int rc = decode_png_rgb(path, &vec, h, w);
   if (rc != 0) return rc;
   uint8_t* buf = static_cast<uint8_t*>(std::malloc(vec.size()));
+  if (buf == nullptr) return 100;  // OOM: ctypes wrapper raises, PIL fallback
   std::memcpy(buf, vec.data(), vec.size());
   *data = buf;
   return 0;
@@ -258,9 +259,14 @@ int tpusr_prepare_pair(const uint8_t* hr_in, int hr_h, int hr_w,
   }
   auto* hr2 = static_cast<uint8_t*>(
       std::malloc(static_cast<size_t>(want_hh) * want_hw * 3));
+  if (hr2 == nullptr) return 100;  // OOM: wrapper raises, PIL fallback
   resize_u8(hr1.data(), hh, hw, hr2, want_hh, want_hw, 3);
 
   auto* lrb = static_cast<uint8_t*>(std::malloc(lr1.size()));
+  if (lrb == nullptr) {
+    std::free(hr2);
+    return 100;
+  }
   std::memcpy(lrb, lr1.data(), lr1.size());
   *lr_out = lrb;
   *lr_oh = lh;
