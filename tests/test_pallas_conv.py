@@ -127,13 +127,14 @@ def test_small_c_padded_operand():
 
 @pytest.mark.parametrize("cin", [64, 128])
 def test_wide_image_2d_grid(cin):
-    """W > 1024 rides the 2-D-grid kernel (column-prepadded, zero-SAME)."""
+    """W > 1024 rides the column overlap-discard path (_fwd_pallas_cols)."""
     rng = np.random.default_rng(9)
     x = jnp.asarray(rng.standard_normal((1, 64, 1280, cin)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, cin, 64)) * 0.05, jnp.float32)
-    # wide shapes are NOT auto-routed (slower than XLA's banded conv on
-    # hardware) but the direct call must stay correct
-    assert not fused_conv_supported(x.shape, 3, 1)
+    # round 3: wide shapes ARE auto-routed (8-aligned column windows on
+    # the fast 1-D kernel); only stats epilogues stay unsupported wide
+    assert fused_conv_supported(x.shape, 3, 1)
+    assert not fused_conv_supported(x.shape, 3, 1, stats=True)
     y = fused_conv3x3(x, w, pad_mode="zero", interpret=True)
     ref, _ = _fused_ref(x, w, None, None, affine=False, act=None,
                         reflect=False, stats=False)
@@ -142,7 +143,7 @@ def test_wide_image_2d_grid(cin):
 
 
 def test_wide_image_2d_grid_act():
-    """2-D path with a LeakyReLU prologue."""
+    """Wide column path with an affine+LeakyReLU prologue."""
     rng = np.random.default_rng(10)
     x = jnp.asarray(rng.standard_normal((1, 64, 1280, 128)), jnp.float32)
     w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)

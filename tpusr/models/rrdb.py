@@ -75,6 +75,13 @@ class DenseBlock(nn.Module):
     gc: int = 32
     dtype: Any = None
     packed: bool = True
+    # line=True: x arrives as the lane/row-padded trunk tensor
+    # (1, HB, W, 128) and the whole block runs as ONE line-buffered Pallas
+    # kernel (ops/pallas_dense.py) — read x once, write x+0.2*c5 once, all
+    # nine intermediates in VMEM. Set by RRDBNet when the shape qualifies.
+    line: bool = False
+    line_h: int = 0          # logical image rows (<= padded HB)
+    line_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -87,6 +94,11 @@ class DenseBlock(nn.Module):
                                       (3, 3, cin, cout)))
             biases.append(self.param(f"conv{k}_bias",
                                      torch_bias_init_for(9 * cin), (cout,)))
+        if self.line:
+            from tpusr.ops.pallas_dense import dense_block_line
+
+            return dense_block_line(x, kernels, biases, self.line_h,
+                                    interpret=self.line_interpret)
         if self.dtype is not None:
             x = x.astype(self.dtype)
         kernels = [k.astype(x.dtype) for k in kernels]
@@ -137,15 +149,20 @@ class RRDB(nn.Module):
     gc: int = 32
     dtype: Any = None
     packed: bool = True
+    line: bool = False
+    line_h: int = 0
+    line_interpret: bool = False
 
     @nn.compact
     def __call__(self, x):
+        kw = dict(line=self.line, line_h=self.line_h,
+                  line_interpret=self.line_interpret)
         out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
-                         name="rdb1")(x)
+                         name="rdb1", **kw)(x)
         out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
-                         name="rdb2")(out)
+                         name="rdb2", **kw)(out)
         out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
-                         name="rdb3")(out)
+                         name="rdb3", **kw)(out)
         return x + 0.2 * out
 
 
@@ -176,9 +193,34 @@ class RRDBNet(nn.Module):
             x = x.astype(self.dtype)
         fea = Conv(self.nf, 3, dtype=self.dtype, name="conv_first")(x)
         trunk = fea
-        for i in range(self.nb):
-            trunk = RRDB(self.nf, self.gc, self.dtype, self.packed,
-                         name=f"rrdb{i}")(trunk)
+
+        from tpusr.ops.pallas_dense import (
+            dense_line_available,
+            dense_line_supported,
+        )
+
+        mode = os.environ.get("TPUSR_CONV_FUSION", "auto")
+        interp = mode == "interpret"
+        H, W = trunk.shape[1], trunk.shape[2]
+        HB = max(-(-H // 8) * 8, 16)
+        use_line = (mode != "off" and self.packed
+                    and self.nf == 64 and self.gc == 32
+                    and (interp or dense_line_available())
+                    and dense_line_supported((1, HB, W, 128), H))
+        if use_line:
+            # whole trunk on a lane/row-padded buffer: ONE pad here, 69
+            # line-buffered block kernels chained in HBM, one slice below
+            trunk = jnp.pad(trunk, ((0, 0), (0, HB - H), (0, 0),
+                                    (0, 128 - self.nf)))
+            for i in range(self.nb):
+                trunk = RRDB(self.nf, self.gc, self.dtype, self.packed,
+                             line=True, line_h=H, line_interpret=interp,
+                             name=f"rrdb{i}")(trunk)
+            trunk = trunk[:, :H, :, :self.nf]
+        else:
+            for i in range(self.nb):
+                trunk = RRDB(self.nf, self.gc, self.dtype, self.packed,
+                             name=f"rrdb{i}")(trunk)
         trunk = Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
                      name="trunk_conv")(trunk)
         fea = fea + trunk
@@ -190,7 +232,12 @@ class RRDBNet(nn.Module):
                     Conv(self.nf, 3, dtype=self.dtype,
                          name=f"upconv{i + 1}")(fea, nearest_up=True), 0.2)
             else:
-                fea = jnp.repeat(jnp.repeat(fea, 2, axis=1), 2, axis=2)
+                n, h, w, c = fea.shape
+                # one broadcast+reshape, not two chained repeats (saves a
+                # full HR-tensor materialization per octave)
+                fea = jnp.broadcast_to(
+                    fea[:, :, None, :, None, :],
+                    (n, h, 2, w, 2, c)).reshape(n, 2 * h, 2 * w, c)
                 fea = leaky_relu(
                     Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
                          name=f"upconv{i + 1}")(fea), 0.2)

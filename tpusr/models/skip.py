@@ -90,8 +90,10 @@ class SkipNet(nn.Module):
                 return False
             # small_c=False: fuse_ok gates prologue/emit_stats call sites,
             # and the tap-grouped 32/64-channel kernel takes no affine
-            # prologue (fused_conv3x3 asserts at trace time on hardware)
-            if not fused_conv_supported(shape, 3, 1, small_c=False):
+            # prologue (fused_conv3x3 asserts at trace time on hardware).
+            # stats=True: wide-column windows can't stitch stats epilogues.
+            if not fused_conv_supported(shape, 3, 1, small_c=False,
+                                        stats=True):
                 return False
             return interp or fused_conv_available()
 

@@ -59,7 +59,7 @@ def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
 
 
 def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
-                TH, H, W, Cin, RC, reflect, affine, act, stats):
+                TH, H, W, Cin, RC, reflect, affine, act, stats, C0=None):
     i = pl.program_id(0)
     nprog = H // TH  # static
 
@@ -67,9 +67,12 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
     # slices must not carry a sublane (second-minor) offset — the scratch is
     # therefore FULL-WIDTH (TH+2, W, Cin) with row halos in dim 0 (untiled),
     # and the +/-1 column shifts happen at the VALUE level below.
+    # C0: static 8-aligned column offset of this window into a wider HBM
+    # operand (the W>1024 overlap-discard path, _fwd_pallas_cols).
     def _copy(src_rows, dst_rows):
-        dma = pltpu.make_async_copy(x_hbm.at[0, src_rows],
-                                    win.at[dst_rows], sem)
+        src = (x_hbm.at[0, src_rows] if C0 is None
+               else x_hbm.at[0, src_rows, pl.ds(C0, W)])
+        dma = pltpu.make_async_copy(src, win.at[dst_rows], sem)
         dma.start()
         dma.wait()
 
@@ -169,26 +172,64 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
         stat_ref[0, 1] = jnp.sum(jnp.square(y), axis=(0, 1, 2))
 
 
-def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
+def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret):
+    """W > 1024: column overlap-discard onto the fast 1-D banded kernel.
+
+    Supersedes _fwd_pallas_2d on the auto route (round 2 measured the 2-D
+    grid at 10.9 ms vs XLA 7.4 for one 1080p 64-ch conv — odd-offset
+    relayouts per matmul). Here each column window <= 1024 runs the proven
+    1-D kernel; interior seams carry one overlap column each side whose
+    output is discarded (window-edge zero/reflect halos only affect that
+    column), plus rounding columns to keep windows sublane-aligned.
+    """
+    _, H, W, Cin = x.shape
+    outs = []
+    o0 = 0
+    while o0 < W:
+        # 512-col output windows: a (TH+2, 520, 128) working set fits the
+        # VMEM budget at TH=8 (768-col windows silently failed _pick_tile_h
+        # and fell back to XLA per window — measured round 3)
+        o1 = min(W, o0 + 512)
+        # 8-aligned window bounds: the kernel DMAs the column window
+        # straight from the full-width HBM operand (no XLA slice copies),
+        # and HBM DMA windows must not carry sublane offsets
+        il = max(0, (o0 - 1) // 8 * 8)
+        ir = min(W, -(-(o1 + 1) // 8) * 8)
+        y, _ = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
+                           reflect=reflect, stats=False,
+                           interpret=interpret, col_win=(il, ir - il))
+        outs.append(y[:, :, o0 - il : o1 - il])
+        o0 = o1
+    return jnp.concatenate(outs, axis=2), None
+
+
+def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
+                col_win=None):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
     RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
-    if W > 1024:
-        if stats or reflect:  # no wide variant for these — XLA reference
+    C0 = None
+    if col_win is not None:
+        C0, W = col_win  # kernel sees only this column window of x
+    elif W > 1024:
+        if stats:  # partial column stats not stitched — XLA reference
             xl = x if RC == Cin else x[..., :RC]
             return _fused_ref(xl, w, es, eb, affine=affine, act=act,
                               reflect=reflect, stats=stats)
-        return _fwd_pallas_2d(x, w, es, eb, affine=affine, act=act,
-                              reflect=reflect, interpret=interpret)
+        return _fwd_pallas_cols(x, w, es, eb, affine=affine, act=act,
+                                reflect=reflect, stats=stats,
+                                interpret=interpret)
     TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
         xl = x if RC == Cin else x[..., :RC]
+        if C0 is not None:
+            xl = xl[:, :, C0 : C0 + W]
         return _fused_ref(xl, w, es, eb, affine=affine, act=act,
                           reflect=reflect, stats=stats)
     n = H // TH
     kern = functools.partial(
         _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin, RC=RC,
-        reflect=reflect, affine=affine, act=act, stats=stats)
+        reflect=reflect, affine=affine, act=act, stats=stats, C0=C0)
     out_shapes = [jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
                   jax.ShapeDtypeStruct((n, 2, Cout), jnp.float32)]
     out_specs = [
@@ -216,151 +257,6 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret):
     )(x, w.reshape(9, RC, Cout), es, eb)
     if stats:
         return y, jnp.sum(parts, axis=0)
-    return y, None
-
-
-def _pick_tile_w(W: int, H: int, Cin: int, Cout: int, isz: int) -> tuple[int, int]:
-    """(TH, TW) for the 2-D-grid kernel on wide images (W > 1024): largest
-    col tile (multiple of 8, dividing W) whose working set fits VMEM."""
-    budget = 11 * 1024 * 1024
-    for tw in (960, 768, 640, 512, 384, 320, 256, 192, 128):
-        if W % tw != 0:
-            continue
-        for th in (32, 16, 8):
-            if H % th != 0:
-                continue
-            win = (th + 2) * (tw + 16) * max(Cin, 128) * isz
-            patch = th * tw * 128 * isz if Cin < 128 else 0
-            acc = th * tw * max(Cout, 128) * 4
-            out = th * tw * max(Cout, 128) * isz
-            if 3 * win + patch + acc + out <= budget:
-                return th, tw
-    return 0, 0
-
-
-def _fwd_kernel_2d(x_hbm, w_ref, es_ref, eb_ref, y_ref, win, sem, *,
-                   TH, TW, H, Cin, RC, affine, act):
-    """2-D-grid fused conv over a COLUMN-PREPADDED input (x has 8 halo
-    columns each side, so every column DMA is an aligned interior window;
-    row halos keep the 3-case logic of _fwd_kernel). Zero/reflect column
-    semantics live in the prepadding; row zero-halos are written here.
-    No stats epilogue (partial sums across two grid dims aren't needed by
-    any current caller)."""
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    nprog = H // TH
-
-    def _copy(src_rows, dst_rows):
-        dma = pltpu.make_async_copy(
-            x_hbm.at[0, src_rows, pl.ds(j * TW, TW + 16)],
-            win.at[dst_rows], sem)
-        dma.start()
-        dma.wait()
-
-    if nprog == 1:
-        _copy(pl.ds(0, TH), pl.ds(1, TH))
-    else:
-        @pl.when(i == 0)
-        def _():
-            _copy(pl.ds(0, TH + 1), pl.ds(1, TH + 1))
-
-        @pl.when(jnp.logical_and(i > 0, i < nprog - 1))
-        def _():
-            _copy(pl.ds(i * TH - 1, TH + 2), pl.ds(0, TH + 2))
-
-        @pl.when(i == nprog - 1)
-        def _():
-            _copy(pl.ds(H - TH - 1, TH + 1), pl.ds(0, TH + 1))
-
-    if affine or act:
-        a0 = win[:]
-        if affine:
-            a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
-        if act == "leaky_relu":
-            zero = jnp.zeros((), a0.dtype)
-            a0 = (jnp.maximum(a0, zero)
-                  + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero))
-        win[:] = a0
-
-    # top/bottom zero halos (zero-pad rows; the caller prepads reflect rows)
-    if nprog == 1:
-        win[0] = jnp.zeros_like(win[0])
-        win[TH + 1] = jnp.zeros_like(win[TH + 1])
-    else:
-        @pl.when(i == 0)
-        def _():
-            win[0] = jnp.zeros_like(win[0])
-
-        @pl.when(i == nprog - 1)
-        def _():
-            win[TH + 1] = jnp.zeros_like(win[TH + 1])
-
-    # image-edge column margins hold the zero prepad — re-zero them AFTER
-    # the prologue (affine(0) = eff_bias must not leak into the halo)
-    if affine or act:
-        ncols = pl.num_programs(1)
-
-        @pl.when(j == 0)
-        def _():
-            win[:, :8] = jnp.zeros_like(win[:, :8])
-
-        @pl.when(j == ncols - 1)
-        def _():
-            win[:, TW + 8:] = jnp.zeros_like(win[:, TW + 8:])
-
-    wv = win[:] if RC == Cin else win[:][:, :, :RC]
-
-    # 9 matmuls with patches sliced straight from the window value —
-    # dot_general relayouts odd-sublane-offset operands itself, whereas
-    # tpu.concatenate refuses mixed offsets (hardware compile failure when
-    # the 1-D kernel's concat-built shift values were used here). The cost
-    # is no tap-grouping in the 2-D path (K=RC per tap).
-    dn = (((2,), (0,)), ((), ()))
-    acc = jnp.zeros((TH, TW, w_ref.shape[-1]), jnp.float32)
-    for t in range(9):
-        dy, dx = t // 3, t % 3
-        patch = wv[dy:dy + TH, 7 + dx:7 + dx + TW]
-        acc = acc + jax.lax.dot_general(patch, w_ref[t], dn,
-                                        preferred_element_type=jnp.float32)
-    y_ref[:] = acc[None].astype(y_ref.dtype)
-
-
-def _fwd_pallas_2d(x, w, es, eb, *, affine, act, reflect, interpret):
-    """Wide-image (W > 1024) path: column-prepad by 8, 2-D grid."""
-    _, H, W, Cin = x.shape
-    Cout = w.shape[-1]
-    RC = w.shape[2]
-    TH, TW = _pick_tile_w(W, H, Cin, Cout, x.dtype.itemsize)
-    if TH == 0:
-        xl = x if RC == Cin else x[..., :RC]
-        return _fused_ref(xl, w, es, eb, affine=affine, act=act,
-                          reflect=reflect, stats=False)[0], None
-    # zero-pad only: the kernel writes zero ROW halos unconditionally, and
-    # the column prepad below supplies zero column halos. (Reflect would
-    # need row prepadding too — no wide reflect caller exists.)
-    assert not reflect, "wide-image 2D path is zero-pad only"
-    xp = jnp.pad(x, ((0, 0), (0, 0), (8, 8), (0, 0)))
-    kern = functools.partial(
-        _fwd_kernel_2d, TH=TH, TW=TW, H=H, Cin=Cin, RC=RC,
-        affine=affine, act=act)
-    y = pl.pallas_call(
-        kern,
-        grid=(H // TH, W // TW),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_shape=jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
-        out_specs=pl.BlockSpec((1, TH, TW, Cout), lambda i, j: (0, i, j, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((TH + 2, TW + 16, Cin), x.dtype),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(xp, w.reshape(9, RC, Cout), es, eb)
     return y, None
 
 
@@ -728,7 +624,8 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
 
 def fused_conv_supported(x_shape, k: int, stride: int,
                          allow_hpad: bool = False,
-                         small_c: bool = True) -> bool:
+                         small_c: bool = True,
+                         stats: bool = False) -> bool:
     """Shapes the Pallas path accepts (everything else -> conv_apply).
 
     C: lane-tile multiples, or small-C powers (32/64) that the kernel
@@ -744,11 +641,11 @@ def fused_conv_supported(x_shape, k: int, stride: int,
     n, H, W, C = x_shape
     c_ok = C % 128 == 0 or (small_c and C in (32, 64))
     h_ok = (H % 8 == 0 or allow_hpad) and H >= 64
-    # W > 1024 has a working 2-D-grid variant (_fwd_pallas_2d, reachable by
-    # calling fused_conv3x3 directly) but measured SLOWER than XLA's banded
-    # conv at 1080p (odd-sublane-offset relayouts per matmul + unoverlapped
-    # DMA) — so wide shapes are not auto-routed.
-    w_ok = W % 8 == 0 and W >= 64 and W <= 1024
+    # W > 1024 routes through _fwd_pallas_cols: 8-aligned column windows
+    # with 1-col overlap-discard, each running the fast 1-D banded kernel
+    # (round 3; replaced the measured-slower _fwd_pallas_2d auto route).
+    # Stats epilogues aren't stitched across windows -> no wide stats.
+    w_ok = W % 8 == 0 and W >= 64 and (W <= 1024 or not stats)
     return n == 1 and k == 3 and stride == 1 and c_ok and h_ok and w_ok
 
 
