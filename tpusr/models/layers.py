@@ -20,6 +20,7 @@ out of this module naturally.
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, Sequence
 
 import jax
@@ -395,6 +396,65 @@ class SplitBatchNorm(nn.Module):
         return outs
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv3x3_thin(x, w, pad_mode):
+    """3x3 stride-1 SAME conv for THIN input channel counts (Cin <= 8 —
+    the skip-branch parts of SplitConv, reference num_channels_skip=4).
+
+    Forward = conv_apply, unchanged. Custom backward: XLA lowers the
+    transposed conv that emits a 4-channel gradient at 512² into a
+    T(4,128)-layout convolution fusion plus layout copies (~0.9 ms/iter,
+    the 2nd-largest cost in the round-3 DIP step trace). Here dgrad moves
+    the 9 taps into the GEMM's N dimension — ONE (pixels, Cout) @
+    (Cout, 9·Cin) projection (a single MXU column pass instead of nine
+    K-passes) — and resolves the taps as shifted adds of thin slices on
+    the VPU, with the reflect strip folds of the pad transpose added
+    analytically for pad_mode='reflection'.
+    """
+    return conv_apply(x, w, 1, pad_mode)
+
+
+def _conv3x3_thin_fwd(x, w, pad_mode):
+    return _conv3x3_thin(x, w, pad_mode), (x, w)
+
+
+def _conv3x3_thin_bwd(pad_mode, res, g):
+    from tpusr.ops.pallas_conv import _reflect_fold_corrections
+
+    x, w = res
+    ci, co = w.shape[2], w.shape[3]
+    wd = w.astype(g.dtype)
+    n, H, W, _ = g.shape
+    # dgrad: all-tap projection, then tap shifts.
+    # P[..., t, j] = sum_c G[..., c] * w[u, v, j, c]   (t = 3u + v)
+    wmat = wd.reshape(9, ci, co).transpose(2, 0, 1).reshape(co, 9 * ci)
+    proj = jnp.dot(g.reshape(-1, co), wmat).reshape(n, H, W, 9, ci)
+    pp = jnp.pad(proj, ((0, 0), (1, 1), (1, 1), (0, 0), (0, 0)))
+    dpa = None
+    for t in range(9):
+        u, v = t // 3, t % 3
+        sl = pp[:, 2 - u : 2 - u + H, 2 - v : 2 - v + W, t]
+        dpa = sl if dpa is None else dpa + sl
+    if pad_mode == "reflection":
+        dpa = _reflect_fold_corrections(dpa, g, wd)
+    # wgrad, same trick: XLA's standalone thin-channel wgrad conv lowered to
+    # a T(2,128) reduce fusion + copy (~1.3 ms/iter measured). Instead
+    # im2col the thin input once (9 shifted slices -> 9*Cin channels) and
+    # contract all pixels in ONE f32-accumulated GEMM.
+    mode = "reflect" if pad_mode == "reflection" else "constant"
+    app = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+    xs = jnp.concatenate(
+        [app[:, u : u + H, v : v + W] for u in range(3) for v in range(3)],
+        axis=-1)  # (N, H, W, 9*Cin)
+    dw = jnp.einsum("nhwj,nhwc->jc", xs, g,
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(3, 3, ci, co)
+    return dpa.astype(x.dtype), dw.astype(w.dtype)
+
+
+_conv3x3_thin.defvjp(_conv3x3_thin_fwd, _conv3x3_thin_bwd)
+
+
 class SplitConv(nn.Module):
     """kxk conv over a channel-concatenation without materializing it:
     conv(concat(xs), W) == sum_i conv(xs[i], W[:, :, slice_i, :]).
@@ -441,8 +501,13 @@ class SplitConv(nn.Module):
             else:
                 if pro is not None:
                     x = x * pro[0].astype(x.dtype) + pro[1].astype(x.dtype)
-                part = conv_apply(x, kernel[:, :, off:off + ci, :].astype(x.dtype),
-                                  self.stride, self.pad_mode)
+                ks = kernel[:, :, off:off + ci, :].astype(x.dtype)
+                if (k == 3 and self.stride == 1 and ci <= 8
+                        and self.pad_mode in ("zero", "reflection")
+                        and (x.shape[0] == 1 or self.pad_mode == "zero")):
+                    part = _conv3x3_thin(x, ks, self.pad_mode)
+                else:
+                    part = conv_apply(x, ks, self.stride, self.pad_mode)
             y = part if y is None else y + part
             off += ci
         if self.use_bias:

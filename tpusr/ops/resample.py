@@ -23,6 +23,8 @@ re-derivation), including its quirks:
 
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -212,13 +214,8 @@ class Downsampler:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (N, H, W, C) -> (N, H', W', C)."""
-        if self.preserve_size and self.pad > 0:
-            p = self.pad
-            x = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)), mode="edge")
-        taps = jnp.asarray(self.taps)
-        y = _depthwise_conv_1d(x, taps, axis=1, stride=self.factor)
-        y = _depthwise_conv_1d(y, taps, axis=2, stride=self.factor)
-        return y
+        return _downsample_sep(x, tuple(float(t) for t in self.taps),
+                               self.factor, self.pad)
 
     def conv2d_with(self, x: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
         """Depthwise 2-D conv with an EXPLICIT kernel — the opt_over='down'
@@ -238,6 +235,67 @@ class Downsampler:
         return lax.conv_general_dilated(
             x, w, (self.factor, self.factor), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
+
+
+def _resample_matrix(taps: np.ndarray, n: int, pad: int, factor: int
+                     ) -> np.ndarray:
+    """Dense 1-D resampling matrix M (n_out, n) with the edge-pad FOLDED in.
+
+    Row o of the strided valid conv over the padded axis is
+    ``taps`` at columns [o*factor, o*factor+k) of the padded axis; the
+    replication pad is itself linear (P[i, clip(i-pad, 0, n-1)] = 1), so
+    M = A @ P absorbs it. Used by the custom-VJP adjoint below."""
+    k = taps.shape[0]
+    np_pad = n + 2 * pad
+    n_out = (np_pad - k) // factor + 1
+    m = np.zeros((n_out, n), np.float32)
+    for o in range(n_out):
+        for j in range(k):
+            src = min(max(o * factor + j - pad, 0), n - 1)
+            m[o, src] += taps[j]
+    return m
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _downsample_sep(x, taps_t, factor, pad):
+    """Separable strided depthwise resample with a layout-safe adjoint.
+
+    Forward: edge pad + two 1-D depthwise valid convs (unchanged math).
+    Backward: XLA lowers the transposed 3-channel depthwise conv at DIP
+    scale into a T(1,128)-layout convolution fusion + copies costing
+    ~1.5 ms/iter (the largest ops in the round-3 DIP step trace). The
+    adjoint here is two dense matrix contractions with the static
+    resampling matrices instead: dx = M_h^T G M_w (tiny MXU work)."""
+    taps = jnp.asarray(np.asarray(taps_t, np.float32))
+    lead = x.shape[:-3]
+    xr = x.reshape((-1,) + x.shape[-3:])
+    if pad > 0:
+        xr = jnp.pad(xr, ((0, 0), (pad, pad), (pad, pad), (0, 0)),
+                     mode="edge")
+    y = _depthwise_conv_1d(xr, taps, axis=1, stride=factor)
+    y = _depthwise_conv_1d(y, taps, axis=2, stride=factor)
+    return y.reshape(lead + y.shape[-3:])
+
+
+def _downsample_sep_fwd(x, taps_t, factor, pad):
+    # x rides the residuals only for its static shape/dtype (it is alive in
+    # the surrounding graph anyway); the adjoint never reads its values
+    return _downsample_sep(x, taps_t, factor, pad), x
+
+
+def _downsample_sep_bwd(taps_t, factor, pad, res, g):
+    shape, dtype = res.shape, res.dtype
+    h, w = shape[-3], shape[-2]
+    taps = np.asarray(taps_t, np.float32)
+    mh = jnp.asarray(_resample_matrix(taps, h, pad, factor))
+    mw = jnp.asarray(_resample_matrix(taps, w, pad, factor))
+    g32 = g.astype(jnp.float32)
+    t = jnp.einsum("oh,...owc->...hwc", mh, g32)
+    dx = jnp.einsum("pw,...hpc->...hwc", mw, t)
+    return (dx.astype(dtype),)
+
+
+_downsample_sep.defvjp(_downsample_sep_fwd, _downsample_sep_bwd)
 
 
 def downsample_lanczos(
