@@ -85,7 +85,12 @@ def main():
     p.add_argument("out_dir")
     p.add_argument("--n_train", type=int, default=16)
     p.add_argument("--n_valid", type=int, default=4)
-    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--size", type=int, default=512, help="HR height")
+    p.add_argument("--width", type=int, default=0,
+                   help="HR width (default: square = --size)")
+    p.add_argument("--jitter", type=int, default=0,
+                   help="random per-image +/- pixels on each HR dim "
+                        "(multiples of 16; mixed shapes exercise buckets)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -97,13 +102,20 @@ def main():
         os.makedirs(lr_dir, exist_ok=True)
         for i in range(1, n + 1):
             name = f"{i:04d}"
-            hr = make_image(rng, args.size)
+            h = args.size
+            w = args.width or args.size
+            if args.jitter:
+                h += 16 * int(rng.integers(-args.jitter // 16,
+                                           args.jitter // 16 + 1))
+                w += 16 * int(rng.integers(-args.jitter // 16,
+                                           args.jitter // 16 + 1))
+            hr = make_image(rng, max(h, w))[:h, :w]
             Image.fromarray(hr).save(os.path.join(hr_dir, f"{name}.png"))
-            lr = Image.fromarray(hr).resize(
-                (args.size // 8, args.size // 8), Image.BICUBIC)
+            lr = Image.fromarray(hr).resize((w // 8, h // 8), Image.BICUBIC)
             lr.save(os.path.join(lr_dir, f"{name}x8.png"))
-    print(f"wrote {args.n_train} train + {args.n_valid} valid {args.size}^2 "
-          f"images under {args.out_dir}")
+    print(f"wrote {args.n_train} train + {args.n_valid} valid ~{args.size}x"
+          f"{args.width or args.size} (jitter {args.jitter}) images under "
+          f"{args.out_dir}")
 
 
 if __name__ == "__main__":
