@@ -93,6 +93,26 @@ def test_bilinear_upsample_matches_torch():
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.parametrize("h,w,c", [(2, 2, 1), (3, 5, 2), (7, 2, 4), (16, 9, 2)])
+def test_bilinear_upsample_custom_vjp_matches_autodiff(h, w, c):
+    """The closed-form adjoint (layers._linear2x_axis_adj) must equal
+    autodiff of the interleave forward, including the edge clamps."""
+    from tpusr.models.layers import _bilinear2x, _linear2x_axis
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((1, h, w, c)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((1, 2 * h, 2 * w, c)).astype(np.float32))
+
+    def ref(x):
+        return _linear2x_axis(_linear2x_axis(x, 1), 2)
+
+    y_new, vjp_new = jax.vjp(_bilinear2x, x)
+    y_ref, vjp_ref = jax.vjp(ref, x)
+    np.testing.assert_array_equal(np.asarray(y_new), np.asarray(y_ref))
+    np.testing.assert_allclose(np.asarray(vjp_new(g)[0]),
+                               np.asarray(vjp_ref(g)[0]), atol=1e-5)
+
+
 def test_nearest_upsample_matches_torch():
     rng = np.random.default_rng(2)
     x = rng.standard_normal((1, 2, 4, 6)).astype(np.float32)

@@ -54,6 +54,44 @@ def test_fused_conv_gradients_match_reference():
         assert rel < 1e-4
 
 
+def test_fused_conv_base_input_stats_and_grads():
+    """base-input variant (SplitConv merge): y = conv(pro(x)) + base with the
+    stats epilogue reducing the FINAL sum; all five cotangents must match
+    autodiff of the XLA reference."""
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((1, 64, 128, 128)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
+    es = jnp.asarray(rng.uniform(0.5, 1.5, (128,)), jnp.float32)
+    eb = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
+    base = jnp.asarray(rng.standard_normal((1, 64, 128, 128)), jnp.float32)
+
+    y, st = fused_conv3x3(x, w, es, eb, act="leaky_relu",
+                          pad_mode="reflection", stats=True, base=base,
+                          interpret=True)
+    yr, str_ = _fused_ref(x, w, es, eb, affine=True, act="leaky_relu",
+                          reflect=True, stats=True, base=base)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(st), np.asarray(str_),
+                               rtol=1e-5, atol=1e-2)
+
+    def loss(f):
+        def inner(x, w, es, eb, base):
+            y, st = f(x, w, es, eb, base)
+            return (0.5 * jnp.sum(jnp.square(y)) + 0.1 * jnp.sum(st[0])
+                    + 0.01 * jnp.sum(st[1]))
+        return inner
+
+    g1 = jax.grad(loss(lambda x, w, es, eb, b: fused_conv3x3(
+        x, w, es, eb, act="leaky_relu", pad_mode="reflection", stats=True,
+        base=b, interpret=True)), argnums=(0, 1, 2, 3, 4))(x, w, es, eb, base)
+    g2 = jax.grad(loss(lambda x, w, es, eb, b: _fused_ref(
+        x, w, es, eb, affine=True, act="leaky_relu", reflect=True,
+        stats=True, base=b)), argnums=(0, 1, 2, 3, 4))(x, w, es, eb, base)
+    for a, b in zip(g1, g2):
+        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+        assert rel < 1e-4
+
+
 def test_supported_shapes():
     assert fused_conv_supported((1, 512, 512, 128), 3, 1)
     assert not fused_conv_supported((2, 512, 512, 128), 3, 1)  # batch

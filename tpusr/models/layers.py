@@ -473,11 +473,20 @@ class SplitConv(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, xs, *, prologues=None, interpret: bool = False):
+    def __call__(self, xs, *, prologues=None, emit_stats: bool = False,
+                 interpret: bool = False):
         """prologues: per-part (eff_scale, eff_bias) from a SplitBatchNorm
         with return_affine=True. Parts whose shape the Pallas kernel accepts
         apply theirs inside the fused conv read; the rest apply it as an
-        explicit FMA first (same math)."""
+        explicit FMA first (same math).
+
+        emit_stats=True: the LAST part's fused kernel takes the running
+        partial sum as its base input and reduces per-channel sum/sum² of
+        the final (bias-free) output in its epilogue — replacing the next
+        BatchNorm's whole-tensor reduction (same contract as
+        Conv(emit_stats=True): returns (y_without_bias, stats_2xC, bias)).
+        When the last part can't ride the kernel, stats fall back to an
+        explicit f32 reduction (identical math, one extra HBM pass)."""
         from tpusr.ops.pallas_conv import fused_conv3x3, fused_conv_supported
 
         k = self.kernel_size
@@ -485,19 +494,30 @@ class SplitConv(nn.Module):
         kernel = self.param("kernel", torch_kernel_init,
                             (k, k, cin, self.features))
         y = None
+        st = None
         off = 0
+        nparts = len(self.splits)
         for idx, (x, ci) in enumerate(zip(xs, self.splits)):
             if self.dtype is not None:
                 x = x.astype(self.dtype)
             pro = prologues[idx] if prologues is not None else None
+            last = idx == nparts - 1
             # small_c=False: this branch carries an affine prologue, which
             # the tap-grouped 32/64-channel kernel rejects (trace-time
             # assert on hardware); such parts take the explicit-FMA path
             if pro is not None and fused_conv_supported(
-                    x.shape, k, self.stride, small_c=False):
-                part = fused_conv3x3(
-                    x, kernel[:, :, off:off + ci, :], pro[0], pro[1],
-                    act=None, pad_mode=self.pad_mode, interpret=interpret)
+                    x.shape, k, self.stride, small_c=False,
+                    stats=emit_stats and last):
+                if emit_stats and last:
+                    part, st = fused_conv3x3(
+                        x, kernel[:, :, off:off + ci, :], pro[0], pro[1],
+                        act=None, pad_mode=self.pad_mode, stats=True,
+                        base=y, interpret=interpret)
+                    y = None  # base already folded into part
+                else:
+                    part = fused_conv3x3(
+                        x, kernel[:, :, off:off + ci, :], pro[0], pro[1],
+                        act=None, pad_mode=self.pad_mode, interpret=interpret)
             else:
                 if pro is not None:
                     x = x * pro[0].astype(x.dtype) + pro[1].astype(x.dtype)
@@ -510,9 +530,18 @@ class SplitConv(nn.Module):
                     part = conv_apply(x, ks, self.stride, self.pad_mode)
             y = part if y is None else y + part
             off += ci
+        if emit_stats and st is None:  # last part missed the kernel path
+            yf = y.astype(jnp.float32)
+            st = jnp.stack([jnp.sum(yf, axis=(0, 1, 2)),
+                            jnp.sum(jnp.square(yf), axis=(0, 1, 2))])
+        bias = None
         if self.use_bias:
             bias = self.param("bias", torch_bias_init_for(k * k * cin),
                               (self.features,))
+        if emit_stats:
+            return y, st, (bias if bias is not None
+                           else jnp.zeros((self.features,), jnp.float32))
+        if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
 
@@ -615,11 +644,63 @@ def _linear2x_axis(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return stacked.reshape(new_shape)
 
 
+def _linear2x_axis_adj(g: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Closed-form adjoint of _linear2x_axis (n >= 2).
+
+    With even[i] = 0.25*x[max(i-1,0)] + 0.75*x[i] and
+    odd[i] = 0.75*x[i] + 0.25*x[min(i+1,n-1)], the cotangent is
+    g_x = 0.75*(ge+go) + 0.25*(A^T ge + B^T go) where the shift adjoints
+    accumulate the edge clamps:
+      (A^T ge)[0] = ge[0]+ge[1];  (A^T ge)[j] = ge[j+1];  (A^T ge)[n-1] = 0
+      (B^T go)[0] = 0;  (B^T go)[j] = go[j-1];  (B^T go)[n-1] = go[n-2]+go[n-1]
+
+    XLA differentiates the interleave/concat forward into ~4x this op
+    count (measured ~1 ms/iter of the 512^2 DIP step across the 5 up
+    levels); the closed form is 2 deinterleave slices + 2 shifted concats
+    + one fma chain per axis.
+    """
+    n = g.shape[axis] // 2
+    shape = list(g.shape)
+    shape[axis] = n
+    shape.insert(axis + 1, 2)
+    gs = g.reshape(shape)
+    ge = lax.index_in_dim(gs, 0, axis + 1, keepdims=False)
+    go = lax.index_in_dim(gs, 1, axis + 1, keepdims=False)
+
+    def sl(a, lo, hi):
+        return lax.slice_in_dim(a, lo, hi, axis=axis)
+
+    zero = jnp.zeros_like(sl(ge, 0, 1))
+    at = jnp.concatenate([sl(ge, 0, 1) + sl(ge, 1, 2), sl(ge, 2, n), zero],
+                         axis=axis)
+    bt = jnp.concatenate([zero, sl(go, 0, n - 2),
+                          sl(go, n - 2, n - 1) + sl(go, n - 1, n)], axis=axis)
+    return 0.75 * (ge + go) + 0.25 * (at + bt)
+
+
+@jax.custom_vjp
+def _bilinear2x(x: jnp.ndarray) -> jnp.ndarray:
+    return _linear2x_axis(_linear2x_axis(x, 1), 2)
+
+
+def _bilinear2x_fwd(x):
+    return _bilinear2x(x), None
+
+
+def _bilinear2x_bwd(_, g):
+    return (_linear2x_axis_adj(_linear2x_axis_adj(g, 2), 1),)
+
+
+_bilinear2x.defvjp(_bilinear2x_fwd, _bilinear2x_bwd)
+
+
 def upsample2x(x: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
     """torch nn.Upsample(scale_factor=2) parity (align_corners=False)."""
     if mode == "nearest":
         return jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
     if mode == "bilinear":
+        if x.shape[1] >= 2 and x.shape[2] >= 2:
+            return _bilinear2x(x)
         return _linear2x_axis(_linear2x_axis(x, 1), 2)
     raise ValueError(f"unknown upsample mode {mode!r}")
 

@@ -162,18 +162,25 @@ class SkipNet(nn.Module):
                     and any(fuse_ok(p.shape, 3) for p in parts)):
                 affines = SplitBatchNorm(widths, name=f"merge{i}_bn")(
                     parts, ura, return_affine=True)
-                z = SplitConv(self.num_channels_up[i], self.filter_size_up,
-                              widths, use_bias=self.need_bias,
-                              pad_mode=self.pad, dtype=dt,
-                              name=f"up{i}_conv")(parts, prologues=affines,
-                                                  interpret=interp)
+                # the trunk part's kernel takes the thin skip part as its
+                # base input and emits sum/sum² of the merged output —
+                # up{i}_bn's whole-tensor reduction rides the conv write
+                z, st, b2 = SplitConv(
+                    self.num_channels_up[i], self.filter_size_up,
+                    widths, use_bias=self.need_bias,
+                    pad_mode=self.pad, dtype=dt,
+                    name=f"up{i}_conv")(parts, prologues=affines,
+                                        emit_stats=True, interpret=interp)
+                n = z.size // z.shape[-1]
+                z = act(BatchNorm(name=f"up{i}_bn")(
+                    z, ura, conv_stats=(st[0], st[1], n, b2)))
             else:
                 parts = SplitBatchNorm(widths, name=f"merge{i}_bn")(parts, ura)
                 z = SplitConv(self.num_channels_up[i], self.filter_size_up,
                               widths, use_bias=self.need_bias,
                               pad_mode=self.pad, dtype=dt,
                               name=f"up{i}_conv")(parts)
-            z = act(BatchNorm(name=f"up{i}_bn")(z, ura))
+                z = act(BatchNorm(name=f"up{i}_bn")(z, ura))
             if self.need1x1_up:
                 z = conv(self.num_channels_up[i], 1, f"up{i}_conv1x1")(z)
                 z = act(BatchNorm(name=f"up{i}_bn1x1")(z, ura))

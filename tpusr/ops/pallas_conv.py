@@ -41,10 +41,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
+def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int,
+                 has_base: bool = False) -> int:
     """Largest row-tile dividing H whose working set fits the ~16 MB VMEM:
     input window (TH+2,W,Cin) + 2 shifted value copies + tap-group patch +
-    f32 accumulator + output block, with headroom for Mosaic temporaries."""
+    f32 accumulator + output block (+ the optional base-input block), with
+    headroom for Mosaic temporaries."""
     budget = 11 * 1024 * 1024
     for th in (64, 32, 16, 8):
         if H % th != 0:
@@ -53,13 +55,24 @@ def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
         patch = th * W * 128 * isz if Cin < 128 else 0
         acc = th * W * max(Cout, 128) * 4
         out = th * W * max(Cout, 128) * isz
-        if 3 * win + patch + acc + out <= budget:
+        base = out if has_base else 0
+        if 3 * win + patch + acc + out + base <= budget:
             return th
     return 0
 
 
-def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
-                TH, H, W, Cin, RC, reflect, affine, act, stats, C0=None):
+def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
+                TH, H, W, Cin, RC, reflect, affine, act, stats, C0=None,
+                has_base=False):
+    if has_base:
+        # base: an already-computed (1,H,W,Cout) partial sum (e.g. the thin
+        # skip part of a SplitConv) added in-VMEM so the stats epilogue
+        # reduces the FINAL output — the Σ(a+b)² cross term makes partial
+        # stats unsplittable, so the sum must happen before the epilogue.
+        base_ref, y_ref, stat_ref, win, sem = refs
+    else:
+        base_ref = None
+        y_ref, stat_ref, win, sem = refs
     i = pl.program_id(0)
     nprog = H // TH  # static
 
@@ -165,6 +178,8 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, y_ref, stat_ref, win, sem, *,
         acc = acc + jax.lax.dot_general(patch, wg, dn,
                                         preferred_element_type=jnp.float32)
 
+    if has_base:
+        acc = acc + base_ref[0].astype(jnp.float32)
     y = acc[None]
     y_ref[:] = y.astype(y_ref.dtype)
     if stats:
@@ -204,7 +219,7 @@ def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret):
 
 
 def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                col_win=None):
+                col_win=None, base=None):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
     RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
@@ -212,24 +227,26 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
     if col_win is not None:
         C0, W = col_win  # kernel sees only this column window of x
     elif W > 1024:
-        if stats:  # partial column stats not stitched — XLA reference
+        if stats or base is not None:  # column windows don't stitch these
             xl = x if RC == Cin else x[..., :RC]
             return _fused_ref(xl, w, es, eb, affine=affine, act=act,
-                              reflect=reflect, stats=stats)
+                              reflect=reflect, stats=stats, base=base)
         return _fwd_pallas_cols(x, w, es, eb, affine=affine, act=act,
                                 reflect=reflect, stats=stats,
                                 interpret=interpret)
-    TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize)
+    TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize,
+                      has_base=base is not None)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
         xl = x if RC == Cin else x[..., :RC]
         if C0 is not None:
             xl = xl[:, :, C0 : C0 + W]
         return _fused_ref(xl, w, es, eb, affine=affine, act=act,
-                          reflect=reflect, stats=stats)
+                          reflect=reflect, stats=stats, base=base)
     n = H // TH
     kern = functools.partial(
         _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin, RC=RC,
-        reflect=reflect, affine=affine, act=act, stats=stats, C0=C0)
+        reflect=reflect, affine=affine, act=act, stats=stats, C0=C0,
+        has_base=base is not None)
     out_shapes = [jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
                   jax.ShapeDtypeStruct((n, 2, Cout), jnp.float32)]
     out_specs = [
@@ -238,15 +255,21 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         pl.BlockSpec((1, 2, Cout), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w (9, Cin, Cout)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # es
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
+    ]
+    operands = [x, w.reshape(9, RC, Cout), es, eb]
+    if base is not None:
+        in_specs.append(pl.BlockSpec((1, TH, W, Cout), lambda i: (0, i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(base)
     y, parts = pl.pallas_call(
         kern,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # w (9, Cin, Cout)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # es
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
-        ],
+        in_specs=in_specs,
         out_shape=out_shapes,
         out_specs=out_specs,
         scratch_shapes=[
@@ -254,7 +277,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x, w.reshape(9, RC, Cout), es, eb)
+    )(*operands)
     if stats:
         return y, jnp.sum(parts, axis=0)
     return y, None
@@ -397,7 +420,7 @@ def _prologue_ref(x, es, eb, affine, act):
     return a
 
 
-def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats):
+def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None):
     """Pure-XLA reference implementation (used for the custom-VJP backward
     and as the numerical oracle in tests)."""
     a = _prologue_ref(x, es, eb, affine, act)
@@ -406,6 +429,8 @@ def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats):
     y = jax.lax.conv_general_dilated(
         ap, w.astype(a.dtype), (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if base is not None:
+        y = y + base.astype(y.dtype)
     if stats:
         s = jnp.sum(y.astype(jnp.float32), axis=(0, 1, 2))
         ss = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(0, 1, 2))
@@ -414,19 +439,23 @@ def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats):
 
 
 # ---------------------------------------------------------------- custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _fused_conv(x, w, es, eb, affine, act, reflect, stats, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_conv(x, w, es, eb, base, affine, act, reflect, stats, interpret):
     y, st = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
-                        reflect=reflect, stats=stats, interpret=interpret)
+                        reflect=reflect, stats=stats, interpret=interpret,
+                        base=base)
     return (y, st) if stats else y
 
 
-def _fused_conv_fwd(x, w, es, eb, affine, act, reflect, stats, interpret):
-    out = _fused_conv(x, w, es, eb, affine, act, reflect, stats, interpret)
+def _fused_conv_fwd(x, w, es, eb, base, affine, act, reflect, stats,
+                    interpret):
+    out = _fused_conv(x, w, es, eb, base, affine, act, reflect, stats,
+                      interpret)
     y = out[0] if stats else out
     # y rides the residuals only for the stats cotangent (sum/sum² backprop
-    # needs the primal output); it is already materialized in HBM.
-    return out, (x, w, es, eb, y if stats else None)
+    # needs the primal output); it is already materialized in HBM. base
+    # rides only for its pytree None-ness (db must mirror its structure).
+    return out, (x, w, es, eb, y if stats else None, base)
 
 
 def _reflect_fold_corrections(dpa, G, wd):
@@ -475,8 +504,11 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
     recompute in VMEM, 9 transposed GEMMs with K=TH*W, grid-accumulated).
     Profiled rationale: XLA lowered the wgrad linear-transpose to ~40 TF/s
     reduce fusions plus a whole-tensor pad copy — together the largest ops
-    in the DIP step trace."""
-    x, w, es, eb, y = res
+    in the DIP step trace.
+
+    The base input (if any) is a straight add-through: its cotangent is the
+    combined output cotangent G (incl. the stats sum/sum² terms)."""
+    x, w, es, eb, y, base = res
     pad_c = x.shape[-1] - w.shape[2]  # lane padding on the operand (small-C)
     if pad_c:
         x = x[..., :w.shape[2]]
@@ -567,18 +599,23 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
         deb = jnp.zeros_like(eb)
     if pad_c:
         dx = jnp.pad(dx, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
-    return dx, dw, des, deb
+    db = None if base is None else G.astype(base.dtype)
+    return dx, dw, des, deb, db
 
 
 _fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 
 def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
-                  pad_mode="reflection", stats=False, interpret=False):
-    """y = conv3x3(act(x*eff_scale+eff_bias)) with in-kernel halo handling.
+                  pad_mode="reflection", stats=False, interpret=False,
+                  base=None):
+    """y = conv3x3(act(x*eff_scale+eff_bias)) [+ base] with in-kernel halos.
 
     x: (1,H,W,Cin) bf16/f32; w: (3,3,RC,Cout) with RC <= Cin. Returns y or
     (y, stats2xC) where stats = [sum(y), sum(y^2)] per channel (f32).
+    base (optional, (1,H,W,Cout)): a precomputed partial sum added in-VMEM
+    before the stats epilogue — the SplitConv merge path feeds its thin
+    skip part here so the epilogue reduces the FINAL merged output.
     Differentiable via custom VJP. Callers gate on `fused_conv_supported`.
 
     Small-C convention: Mosaic cannot DMA-slice lane-padded (<128 ch) HBM
@@ -611,14 +648,15 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
         # halo for the last real row, so the cropped result is exact — but
         # only without a prologue (affine(0)=eff_bias would leak into the
         # halo) and without stats (they would count the pad rows).
-        assert pad_mode == "zero" and not affine and act is None and not stats, \
+        assert (pad_mode == "zero" and not affine and act is None
+                and not stats and base is None), \
             "H%8 row-padding requires a plain zero-pad conv"
         hp = (8 - H % 8)
         xp = jnp.pad(x, ((0, 0), (0, hp), (0, 0), (0, 0)))
-        y = _fused_conv(xp, w, eff_scale, eff_bias, affine, act,
+        y = _fused_conv(xp, w, eff_scale, eff_bias, None, affine, act,
                         False, False, interpret)
         return y[:, :H]
-    return _fused_conv(x, w, eff_scale, eff_bias, affine, act,
+    return _fused_conv(x, w, eff_scale, eff_bias, base, affine, act,
                        pad_mode == "reflection", stats, interpret)
 
 
