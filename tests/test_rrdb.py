@@ -61,24 +61,3 @@ def test_packed_net_matches_naive():
                                np.asarray(net_n.apply(v, x)),
                                rtol=1e-5, atol=1e-5)
 
-
-def test_fused_upsample_matches_repeat_conv():
-    """conv3x3_nearest2x phase decomposition == repeat2x + conv."""
-    import jax
-    import jax.numpy as jnp
-
-    from tpusr.models.rrdb import RRDBNet
-
-    net_f = RRDBNet(nf=32, nb=1, gc=16, scale=4, fuse_upsample=True)
-    net_r = RRDBNet(nf=32, nb=1, gc=16, scale=4, fuse_upsample=False)
-    x = jnp.asarray(np.random.default_rng(11).random((1, 24, 40, 3)),
-                    jnp.float32)
-    v = net_r.init(jax.random.key(0), x)
-    # identical param trees: the fused path only reroutes the compute
-    v2 = net_f.init(jax.random.key(0), x)
-    assert (jax.tree_util.tree_structure(v)
-            == jax.tree_util.tree_structure(v2))
-    y_r = net_r.apply(v, x)
-    y_f = net_f.apply(v, x)
-    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
-                               rtol=2e-4, atol=2e-5)

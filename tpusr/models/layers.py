@@ -173,14 +173,12 @@ class Conv(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, prologue=None, emit_stats: bool = False,
-                 interpret: bool = False, nearest_up: bool = False):
+                 interpret: bool = False):
         """prologue=(eff_scale, eff_bias, act|None) fuses the previous BN's
         normalize+activation into this conv's input read, and
         emit_stats=True makes the kernel reduce per-channel sum/sum² of the
         (bias-free) output for the NEXT BatchNorm (ops/pallas_conv.py).
         Callers must gate on fused_conv_supported — both kwargs require it.
-        nearest_up=True computes conv3x3(nearest2x(x)) via the low-res
-        phase decomposition (conv3x3_nearest2x; k==3, zero pad only).
 
         Returns y, or (y_without_bias, stats_2xC, bias) when emit_stats.
         """
@@ -196,10 +194,6 @@ class Conv(nn.Module):
                               (self.features,))
         if self.dtype is not None:
             x = x.astype(self.dtype)
-
-        if nearest_up:
-            assert k == 3 and self.stride == 1 and self.pad_mode == "zero"
-            return conv3x3_nearest2x(x, kernel.astype(x.dtype), bias)
 
         if prologue is None and not emit_stats and self.auto_fuse:
             from tpusr.ops.pallas_conv import (
@@ -570,45 +564,6 @@ def pixel_shuffle(x: jnp.ndarray, r: int) -> jnp.ndarray:
     x = x.reshape(n, h, w, cout, r, r)
     x = x.transpose(0, 1, 4, 2, 5, 3)  # n, h, r, w, r, cout
     return x.reshape(n, h * r, w * r, cout)
-
-
-def conv3x3_nearest2x(x, kernel, bias=None):
-    """conv3x3(zero-SAME, nearest-2x-upsample(x)) computed AT LOW RES.
-
-    Nearest-up + 3x3 conv factorizes into FOUR 2x2 phase convs on the
-    un-upsampled tensor + an interleave: output row 2p+e reads up rows
-    {2p+e-1, 2p+e, 2p+e+1} -> x rows {p-1, p} (e=0, weights [w0, w1+w2])
-    or {p, p+1} (e=1, weights [w0+w1, w2]), same per column. 2.25x fewer
-    MACs than the HR conv and the (2H, 2W, C) intermediate never exists —
-    the RRDB/SRGAN upsample towers are bandwidth-bound there (DESIGN.md).
-    Math equal to conv_apply(repeat2x(x)) up to fp reassociation of the
-    summed taps (golden-tested)."""
-    w = kernel
-    r0 = jnp.stack([w[0], w[1] + w[2]])   # ey=0: taps uy in {-1, 0}
-    r1 = jnp.stack([w[0] + w[1], w[2]])   # ey=1: taps uy in {0, 1}
-
-    def cols(r):  # (2, 3, C, M) -> per-ex (2, 2, C, M)
-        return (jnp.stack([r[:, 0], r[:, 1] + r[:, 2]], axis=1),
-                jnp.stack([r[:, 0] + r[:, 1], r[:, 2]], axis=1))
-
-    k00, k01 = cols(r0)
-    k10, k11 = cols(r1)
-    n, h, wd, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dn = ("NHWC", "HWIO", "NHWC")
-
-    def ph(k, ey, ex):
-        return lax.conv_general_dilated(
-            xp[:, ey:ey + h + 1, ex:ex + wd + 1], k.astype(x.dtype), (1, 1),
-            "VALID", dimension_numbers=dn)
-
-    top = jnp.stack([ph(k00, 0, 0), ph(k01, 0, 1)], axis=3)  # (n,h,w,2,M)
-    bot = jnp.stack([ph(k10, 1, 0), ph(k11, 1, 1)], axis=3)
-    y = jnp.stack([top, bot], axis=2)                        # (n,h,2,w,2,M)
-    y = y.reshape(n, 2 * h, 2 * wd, kernel.shape[-1])
-    if bias is not None:
-        y = y + bias.astype(y.dtype)
-    return y
 
 
 def pool2x2(x: jnp.ndarray, mode: str) -> jnp.ndarray:

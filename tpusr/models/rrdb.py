@@ -179,12 +179,10 @@ class RRDBNet(nn.Module):
     scale: int = 4  # power of two
     dtype: Any = None
     packed: bool = True  # MXU-packed dense blocks (see DenseBlock)
-    # compute each [nearest-2x + conv3x3] stage as four 2x2 phase convs at
-    # LOW RES + interleave (layers.conv3x3_nearest2x). 2.25x fewer MACs,
-    # but measured SLOWER on the 2K bench (11.3 vs 12.1 MPix/s: the
-    # phase-interleave stacks cost more HR-size passes than the saved
-    # upsample+conv) — kept as a tested option, default off.
-    fuse_upsample: bool = False
+    # NOTE: a low-res phase decomposition of [nearest-2x + conv3x3] (4 phase
+    # convs at LR, 2.25x fewer MACs) was built and measured SLOWER on the 2K
+    # bench (11.3 vs 12.1 MPix/s: phase-interleave stacks cost more HR-size
+    # passes than the saved upsample+conv) — removed; record in DESIGN.md.
 
     @nn.compact
     def __call__(self, x):
@@ -227,20 +225,15 @@ class RRDBNet(nn.Module):
 
         n_up = self.scale.bit_length() - 1
         for i in range(n_up):
-            if self.fuse_upsample:
-                fea = leaky_relu(
-                    Conv(self.nf, 3, dtype=self.dtype,
-                         name=f"upconv{i + 1}")(fea, nearest_up=True), 0.2)
-            else:
-                n, h, w, c = fea.shape
-                # one broadcast+reshape, not two chained repeats (saves a
-                # full HR-tensor materialization per octave)
-                fea = jnp.broadcast_to(
-                    fea[:, :, None, :, None, :],
-                    (n, h, 2, w, 2, c)).reshape(n, 2 * h, 2 * w, c)
-                fea = leaky_relu(
-                    Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
-                         name=f"upconv{i + 1}")(fea), 0.2)
+            n, h, w, c = fea.shape
+            # one broadcast+reshape, not two chained repeats (saves a
+            # full HR-tensor materialization per octave)
+            fea = jnp.broadcast_to(
+                fea[:, :, None, :, None, :],
+                (n, h, 2, w, 2, c)).reshape(n, 2 * h, 2 * w, c)
+            fea = leaky_relu(
+                Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
+                     name=f"upconv{i + 1}")(fea), 0.2)
         fea = leaky_relu(Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
                           name="conv_hr")(fea), 0.2)
         out = Conv(self.out_channels, 3, dtype=self.dtype, name="conv_last")(fea)

@@ -377,11 +377,28 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
                 dw_ref[t] = dw_ref[t] + part
 
 
+def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
+    """wgrad-specific VMEM budget: no (TH,W,Cout) accumulator/output blocks
+    (dw is a tiny revisited (9,Cin,Cout) block), so the row tile can be 2x
+    the forward's — measured 1.17 -> 0.99 ms at (512,512,128->128) bf16
+    (fewer grid programs: half the DMA waits and dw accumulation passes)."""
+    budget = 11 * 1024 * 1024
+    for th in (64, 32, 16, 8):
+        if H % th != 0:
+            continue
+        win = (th + 2) * W * max(Cin, 128) * isz
+        gblk = th * W * max(Cout, 128) * isz
+        dw = 9 * max(Cin, 128) * max(Cout, 128) * 4
+        if 3 * win + gblk + dw <= budget:
+            return th
+    return 0
+
+
 def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret):
     """(9, Cin, Cout) f32 kernel cotangent via the wgrad kernel."""
     _, H, W, Cin = x.shape
     Cout = g.shape[-1]
-    TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize)
+    TH = _pick_tile_wgrad(H, W, Cin, Cout, x.dtype.itemsize)
     if TH == 0:
         return None
     n = H // TH
