@@ -173,8 +173,26 @@ def _dip_core(
         lr_mask = _valid_mask(lr_image.shape[1:3], lr_valid)
         lr_count = jnp.maximum(jnp.sum(lr_mask), 1.0) * lr_image.shape[-1]
 
-    def loss_fn(t, st, noise):
-        z_iter = z_of(t) + noise
+    def perturb(zv, seed2):
+        """z + reg_noise_std*N(0,1), deterministic in seed2 (int32[2]).
+
+        The scan carries the SEED, not the 33 MB noise tensor, and the
+        resolve regenerates the last draw from it (DIP.py:51-52,102
+        parity). An on-chip-PRNG Pallas kernel for this (draw+add+cast in
+        one pass) was built and measured: the kernel alone is fine
+        (~0.3 ms incl. box-muller transcendentals) but its presence in the
+        scan body cost ~1.7 ms/iter globally — XLA's fusion/scheduling
+        around the custom call degraded every neighboring op (DESIGN.md
+        round 3). jax.random with the same key material it is."""
+        kk = jax.random.wrap_key_data(seed2.astype(jnp.uint32))
+        n = jax.random.normal(kk, zv.shape, zv.dtype)
+        return zv + n * config.reg_noise_std
+
+    def loss_fn(t, st, seed2):
+        if seed2 is not None and config.reg_noise_std > 0:
+            z_iter = perturb(z_of(t), seed2)
+        else:
+            z_iter = z_of(t)
         out_hr, updates = net.apply(
             {"params": t["net"], "batch_stats": st}, z_iter, True,
             mutable=["batch_stats"])
@@ -189,17 +207,16 @@ def _dip_core(
         return loss, updates["batch_stats"]
 
     def make_sgd_iter(tx):
-        def sgd_iter(carry, k):
+        def sgd_iter(carry, seed2):
             t, st, opt, _ = carry
-            noise = jax.random.normal(k, z.shape, z.dtype) * config.reg_noise_std
             (loss, st), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-                t, st, noise)
+                t, st, seed2)
             updates, opt = tx.update(grads, opt, t)
             t = optax.apply_updates(t, updates)
-            # the last drawn perturbation is carried: the reference resolves
-            # the final image with net_input still holding the last noisy
-            # draw (DIP.py:51-52 reassignment + :102)
-            return (t, st, opt, noise), loss
+            # the last draw's SEED is carried (the draw is deterministic in
+            # it): the reference resolves the final image with net_input
+            # still holding the last noisy draw (DIP.py:51-52 + :102)
+            return (t, st, opt, seed2), loss
         return sgd_iter
 
     def metrics_of(t, st):
@@ -226,12 +243,13 @@ def _dip_core(
     remainder = config.num_iter - n_chunks * chunk_len
     k_reg, k_rem = jax.random.split(k_reg)
     reg_keys = jax.random.split(k_reg, (n_chunks, chunk_len))
+    reg_seeds = jax.random.key_data(reg_keys).astype(jnp.int32)
 
-    last_noise = jnp.zeros_like(z)
+    last_seed2 = jnp.zeros((2,), jnp.int32)
     if config.optimizer == "adam":
         tx = optax.adam(config.learning_rate)  # torch Adam defaults == optax
         step = make_sgd_iter(tx)
-        carry = (trainable, stats, tx.init(trainable), last_noise)
+        carry = (trainable, stats, tx.init(trainable), last_seed2)
 
         def chunk(carry, keys):
             # metrics at the chunk head == iter % log_freq == 0 (DIP.py:71)
@@ -240,18 +258,21 @@ def _dip_core(
             return carry, (m, losses[-1])
 
         carry, ((psnrs, ssims, lpipss), losses) = jax.lax.scan(
-            chunk, carry, reg_keys)
+            chunk, carry, reg_seeds)
         if remainder > 0:
-            carry, _ = jax.lax.scan(step, carry,
-                                    jax.random.split(k_rem, remainder))
-        trainable, stats, _, last_noise = carry
+            rem_seeds = jax.random.key_data(
+                jax.random.split(k_rem, remainder)).astype(jnp.int32)
+            carry, _ = jax.lax.scan(step, carry, rem_seeds)
+        trainable, stats, _, last_seed2 = carry
     elif config.optimizer == "lbfgs":
         # utils/DIP.py:19-31: 100 Adam warmup steps at lr 1e-3, then LBFGS.
         warm_tx = optax.adam(0.001)
         warm = make_sgd_iter(warm_tx)
+        warm_seeds = jax.random.key_data(
+            jax.random.split(k_rem, 100)).astype(jnp.int32)
         (trainable, stats, _, _), _ = jax.lax.scan(
-            warm, (trainable, stats, warm_tx.init(trainable), last_noise),
-            jax.random.split(k_rem, 100))
+            warm, (trainable, stats, warm_tx.init(trainable), last_seed2),
+            warm_seeds)
 
         # LBFGS stage: deterministic objective (reg noise frozen at 0 —
         # a stochastic loss would defeat the line search; documented
@@ -260,8 +281,7 @@ def _dip_core(
         # passes lr as torch LBFGS's fixed step (utils/DIP.py:30,
         # line_search_fn=None), while optax's strong-Wolfe search picks the
         # step per iteration — better-conditioned, divergence in PARITY.md.
-        zero_noise = jnp.zeros_like(z)
-        det_loss = lambda t: loss_fn(t, stats, zero_noise)[0]
+        det_loss = lambda t: loss_fn(t, stats, None)[0]
         tx = optax.lbfgs(memory_size=config.lbfgs_memory)
         vg = optax.value_and_grad_from_state(det_loss)
 
@@ -289,10 +309,14 @@ def _dip_core(
         raise ValueError(f"unknown optimizer {config.optimizer!r}")
 
     # reference parity: the final image is net(net_input) with net_input
-    # still holding the LAST reg-noise-perturbed draw (DIP.py:102)
+    # still holding the LAST reg-noise-perturbed draw (DIP.py:102) —
+    # regenerated here from the carried seed (identical draw). The lbfgs
+    # path and num_iter==0 resolve un-noised, exactly as before (the old
+    # code carried zeros there).
     z_final = z_of(trainable)
-    if not config.resolve_clean:
-        z_final = z_final + last_noise
+    if (not config.resolve_clean and config.reg_noise_std > 0
+            and config.optimizer == "adam" and config.num_iter > 0):
+        z_final = perturb(z_final, last_seed2)
     resolved, _ = net.apply({"params": trainable["net"], "batch_stats": stats},
                             z_final, True, mutable=["batch_stats"])
     curves = {"psnr": psnrs, "ssim": ssims, "lpips": lpipss, "loss": losses}

@@ -128,6 +128,11 @@ def conv_apply(x, kernel, stride: int, pad_mode: str):
         y = jnp.dot(x.reshape(-1, x.shape[-1]), kernel.reshape(-1, features))
         return y.reshape(*x.shape[:-1], features)
 
+    # NOTE: routing stride-2 convs to the plain lax path looked 2.3x better
+    # in a standalone dispatch bench (tools/bench_stride2.py) but REGRESSED
+    # the full DIP step ~1 ms/iter in-graph (XLA co-fuses the banded form's
+    # adjoint with neighboring passes; the standalone bench is dominated by
+    # per-dispatch overhead). Keep banding for all strides.
     if (x.ndim == 4 and x.shape[0] == 1 and x.shape[1] >= _BAND_MIN_H
             and k > 1 and pad_mode in ("zero", "reflection")):
         nb = _pick_bands(x.shape[1], stride)
