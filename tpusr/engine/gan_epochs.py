@@ -192,22 +192,30 @@ def stack_dataset_for_device(dataset, batch_size: int):
     lh = max(it[0].shape[0] for it in items)
     lw = max(it[0].shape[1] for it in items)
 
-    lr_stack, hr_stack, valid = [], [], []
-    for lr_img, hr_img, _ in items:
-        vh, vw = lr_img.shape[0], lr_img.shape[1]
-        lr_u8 = np.round(lr_img * 255.0).astype(np.uint8)
-        hr_u8 = np.round(hr_img * 255.0).astype(np.uint8)
-        lr_stack.append(np.pad(lr_u8, ((0, lh - vh), (0, lw - vw), (0, 0))))
-        hr_stack.append(np.pad(hr_u8, ((0, (lh - vh) * f), (0, (lw - vw) * f),
-                                       (0, 0))))
-        valid.append((vh, vw))
-
     n = len(items)
-    while len(lr_stack) % batch_size != 0:
-        i = len(lr_stack) - n  # wrap from the start
-        lr_stack.append(lr_stack[i])
-        hr_stack.append(hr_stack[i])
-        valid.append(valid[i])
+    total = n + (-n) % batch_size  # wrap-pad to a batch multiple
+    # preallocated padded stacks + in-place quantize: the per-image
+    # round/astype/pad/stack chain measured 0.57 s/image at DIV2K dims on
+    # this host (tools/host_pipeline.py) — one shared f32 scratch and a
+    # direct write into the slot cuts the copies to one per image
+    lr_out = np.zeros((total, lh, lw, 3), np.uint8)
+    hr_out = np.zeros((total, lh * f, lw * f, 3), np.uint8)
+    valid = np.zeros((total, 2), np.int32)
+    scratch = np.empty(lh * f * lw * f * 3, np.float32)  # flat, sliced per image
 
-    return (np.stack(lr_stack), np.stack(hr_stack),
-            np.asarray(valid, np.int32))
+    def quantize_into(dst, img):
+        if img.dtype == np.uint8:
+            dst[: img.shape[0], : img.shape[1]] = img
+            return
+        s = scratch[: img.size].reshape(img.shape)
+        np.multiply(img, 255.0, out=s)
+        np.rint(s, out=s)
+        dst[: img.shape[0], : img.shape[1]] = s  # astype on assignment
+
+    for j in range(total):
+        lr_img, hr_img, _ = items[j if j < n else j - n]
+        quantize_into(lr_out[j], lr_img)
+        quantize_into(hr_out[j], hr_img)
+        valid[j] = (lr_img.shape[0], lr_img.shape[1])
+
+    return lr_out, hr_out, valid
