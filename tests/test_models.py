@@ -224,6 +224,51 @@ def test_banded_conv_matches_plain():
                                            np.asarray(plain), atol=1e-5)
 
 
+def test_thin_cout_conv_matches_plain():
+    """Small-Cout stride-1 zero-pad convs (the SRGAN 9x9 64->3 head) take
+    the tap-packed GEMM route (_conv_thin_cout): forward and both custom-VJP
+    gradients must match the lax conv to f32 roundoff."""
+    from tpusr.models.layers import _conv_thin_cout, _thin_cout_ok, conv_apply
+
+    rng = np.random.default_rng(12)
+    assert _thin_cout_ok((8, 192, 192, 64), 9, 3, 1, "zero")
+    assert not _thin_cout_ok((1, 512, 512, 64), 3, 3, 1, "zero")  # N=27
+    assert not _thin_cout_ok((8, 192, 192, 64), 9, 3, 1, "reflection")
+    assert not _thin_cout_ok((8, 192, 192, 64), 9, 3, 2, "zero")
+
+    for n, H, W, ci, co, k in [(2, 24, 20, 64, 3, 9), (1, 40, 33, 16, 8, 3)]:
+        x = jnp.asarray(rng.standard_normal((n, H, W, ci)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((k, k, ci, co)) * 0.1, jnp.float32)
+        p = k // 2
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((p, p), (p, p)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        got = _conv_thin_cout(x, w, "zero")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-4)
+        # conv_apply routes there (same values)
+        if _thin_cout_ok(x.shape, k, co, 1, "zero"):
+            np.testing.assert_allclose(
+                np.asarray(conv_apply(x, w, 1, "zero")), np.asarray(ref),
+                atol=2e-4)
+
+        def loss_ref(x, w):
+            y = jax.lax.conv_general_dilated(
+                x, w, (1, 1), ((p, p), (p, p)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(jnp.sin(y))
+
+        def loss_thin(x, w):
+            return jnp.sum(jnp.sin(_conv_thin_cout(x, w, "zero")))
+
+        g_ref = jax.grad(loss_ref, (0, 1))(x, w)
+        g_thin = jax.grad(loss_thin, (0, 1))(x, w)
+        np.testing.assert_allclose(np.asarray(g_thin[0]),
+                                   np.asarray(g_ref[0]), atol=2e-4)
+        np.testing.assert_allclose(np.asarray(g_thin[1]),
+                                   np.asarray(g_ref[1]), atol=2e-3)
+
+
 def test_split_conv_and_bn_match_monolithic():
     """SplitConv/SplitBatchNorm over [skip(4), trunk(128)] == monolithic
     conv/BN over the 132-channel concat (the skip-merge rewrite)."""

@@ -127,13 +127,24 @@ def _train_step_core(
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]
 
+    # --- One generator forward, linearized (train_GAN.py:41 computes
+    # `fake` ONCE per step and reuses it for both the D update and the G
+    # loss; the single BN batch-stats update happens here). Running the
+    # forward twice (as a naive grad-of-loss formulation does) both doubles
+    # the G forward cost — XLA cannot CSE the two applications because their
+    # stat-update expressions differ — and applies the BN momentum update
+    # twice per step, diverging from the reference's stats trajectory. ---
+    def g_fwd(pg):
+        return g_apply(pg, state.stats_G, lr_patches)
+
+    fake, g_vjp, stats_G = jax.vjp(g_fwd, state.params_G, has_aux=True)
+
     # --- Discriminator update (train_GAN.py:43-53) ---
-    fake, stats_G = g_apply(state.params_G, state.stats_G, lr_patches)
-    fake = jax.lax.stop_gradient(fake)
+    fake_d = jax.lax.stop_gradient(fake)
 
     def loss_D_fn(pd):
         real_logits, st1 = d_apply(pd, state.stats_D, hr_patches)
-        fake_logits, st2 = d_apply(pd, st1, fake)
+        fake_logits, st2 = d_apply(pd, st1, fake_d)
         return L.discriminator_loss(real_logits, fake_logits), st2
 
     (loss_D, stats_D), grads_D = jax.value_and_grad(loss_D_fn, has_aux=True)(
@@ -141,20 +152,21 @@ def _train_step_core(
     upd_D, opt_D = tx.update(grads_D, state.opt_D, state.params_D)
     params_D = optax.apply_updates(state.params_D, upd_D)
 
-    # --- Generator update (train_GAN.py:55-64) ---
-    def loss_G_fn(pg):
-        fake_g, st_g = g_apply(pg, stats_G, lr_patches)
-        adv_input = jax.lax.stop_gradient(fake_g) if config.legacy_detach else fake_g
+    # --- Generator update (train_GAN.py:55-64): differentiate the loss
+    # w.r.t. the fake IMAGES, then pull the cotangent back through the
+    # saved generator linearization — one G forward + one G transpose
+    # per step instead of two forwards + one transpose. ---
+    def loss_from_fake(fk):
+        adv_input = jax.lax.stop_gradient(fk) if config.legacy_detach else fk
         # D runs in train mode on the fake batch but its stats are not
         # persisted here (the reference's third D stat update is dropped —
         # the D optimizer has already consumed this step's statistics).
         fake_logits, _ = d_apply(params_D, stats_D, adv_input)
-        loss = L.perceptual_loss(content_loss, fake_g, hr_patches, fake_logits,
+        return L.perceptual_loss(content_loss, fk, hr_patches, fake_logits,
                                  adv_weight=config.adv_weight)
-        return loss, st_g
 
-    (loss_G, stats_G), grads_G = jax.value_and_grad(loss_G_fn, has_aux=True)(
-        state.params_G)
+    loss_G, dfake = jax.value_and_grad(loss_from_fake)(fake)
+    (grads_G,) = g_vjp(dfake)
     upd_G, opt_G = tx.update(grads_G, state.opt_G, state.params_G)
     params_G = optax.apply_updates(state.params_G, upd_G)
 

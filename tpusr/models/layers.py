@@ -116,17 +116,11 @@ def _banded_conv(x, kernel, stride, pad_mode, nb):
     return y.reshape(1, H // stride, W // stride, kernel.shape[-1])
 
 
-def conv_apply(x, kernel, stride: int, pad_mode: str):
-    """Shape-dispatching conv core (no bias): 1x1 as dot, batch-1 tall
-    images banded, otherwise a plain lax conv. kernel: HWIO, x: NHWC,
-    both already in the compute dtype."""
+def _conv_apply_base(x, kernel, stride: int, pad_mode: str):
+    """Banded / plain lax-conv core (no thin-channel routing — the custom-VJP
+    thin paths call this for their forward so dispatch cannot recurse)."""
     k = kernel.shape[0]
     p = (k - 1) // 2
-    features = kernel.shape[-1]
-
-    if k == 1 and stride == 1:
-        y = jnp.dot(x.reshape(-1, x.shape[-1]), kernel.reshape(-1, features))
-        return y.reshape(*x.shape[:-1], features)
 
     # NOTE: routing stride-2 convs to the plain lax path looked 2.3x better
     # in a standalone dispatch bench (tools/bench_stride2.py) but REGRESSED
@@ -149,6 +143,34 @@ def conv_apply(x, kernel, stride: int, pad_mode: str):
     return jax.lax.conv_general_dilated(
         x, kernel, (stride, stride), padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+def conv_apply(x, kernel, stride: int, pad_mode: str):
+    """Shape-dispatching conv core (no bias): 1x1 as dot, thin-Cout via the
+    tap-packed GEMM, thin-Cin 3x3 via the custom-backward projection, batch-1
+    tall images banded, otherwise a plain lax conv. kernel: HWIO, x: NHWC,
+    both already in the compute dtype."""
+    k = kernel.shape[0]
+    features = kernel.shape[-1]
+
+    if k == 1 and stride == 1:
+        y = jnp.dot(x.reshape(-1, x.shape[-1]), kernel.reshape(-1, features))
+        return y.reshape(*x.shape[:-1], features)
+
+    if x.ndim == 4 and _thin_cout_ok(x.shape, k, features, stride, pad_mode):
+        return _conv_thin_cout(x, kernel, pad_mode)
+
+    # thin-Cin 3x3 (e.g. the SRGAN discriminator stem, 3->64 @192²): the
+    # forward conv lowers fine, but XLA emits the 3-channel dgrad as a VPU
+    # multiply-reduce fusion (0.4 ms/step in the GAN train trace); the
+    # custom backward projects all taps in one GEMM instead.
+    if (x.ndim == 4 and k == 3 and stride == 1 and x.shape[-1] <= 8
+            and features >= 16 and x.shape[1] * x.shape[2] >= 1024
+            and pad_mode in ("zero", "reflection")
+            and (x.shape[0] == 1 or pad_mode == "zero")):
+        return _conv3x3_thin(x, kernel, pad_mode)
+
+    return _conv_apply_base(x, kernel, stride, pad_mode)
 
 
 class Conv(nn.Module):
@@ -410,7 +432,7 @@ def _conv3x3_thin(x, w, pad_mode):
     the VPU, with the reflect strip folds of the pad transpose added
     analytically for pad_mode='reflection'.
     """
-    return conv_apply(x, w, 1, pad_mode)
+    return _conv_apply_base(x, w, 1, pad_mode)
 
 
 def _conv3x3_thin_fwd(x, w, pad_mode):
@@ -452,6 +474,77 @@ def _conv3x3_thin_bwd(pad_mode, res, g):
 
 
 _conv3x3_thin.defvjp(_conv3x3_thin_fwd, _conv3x3_thin_bwd)
+
+
+def _thin_cout_ok(x_shape, k, cout, stride, pad_mode) -> bool:
+    """Route gate for _conv_thin_cout: stride-1 zero-pad convs whose output
+    channel count is too small for the MXU lane dimension. Requires
+    cout*k² >= 64 so the tap-packed GEMM's N dim fills >= half the lanes
+    (the SRGAN 9x9 64->3 head: N=243; the RRDB 3x3 64->3 tail: N=27,
+    excluded — measured no win at 27 lanes)."""
+    return (stride == 1 and pad_mode == "zero" and k >= 3
+            and cout <= 8 and cout * k * k >= 64
+            and x_shape[-1] >= 16 and x_shape[1] * x_shape[2] >= 1024)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_thin_cout(x, w, pad_mode):
+    """kxk stride-1 SAME conv for THIN OUTPUT channel counts (Cout <= 8 —
+    the SRGAN generator's 9x9 64->3 head, models/GAN/generator.py:62-64).
+
+    XLA lowers small-Cout convs to VPU multiply-reduce loop fusions (no MXU):
+    the 9.2 GFLOP head conv measured 3.7 ms/step in the GAN train trace —
+    43x its MXU time. Here the k² taps move into the GEMM's N dimension:
+    ONE (pixels, Cin) @ (Cin, k²·Cout) MXU pass over the padded input, then
+    the taps resolve as k² shifted lane-slice adds (f32 accumulation, one
+    output-size pass on the VPU). The backward reuses the same structure:
+    im2col the thin cotangent once (k² shifted slices -> k²·Cout lanes),
+    then dgrad and wgrad are each ONE GEMM against it."""
+    k, _, ci, co = w.shape
+    p = (k - 1) // 2
+    n, H, W, _ = x.shape
+    xp = jnp.pad(x, ((0, 0), (p, p), (p, p), (0, 0)))
+    wf = w.transpose(2, 0, 1, 3).reshape(ci, k * k * co)
+    # dot_general on the 4-D operand (no flatten reshape): the reshape forced
+    # a flat row-major layout preference that injected whole-tensor layout
+    # copies on both sides of the GEMM (measured 0.5+0.6 ms/step)
+    part = lax.dot_general(xp, wf, (((3,), (0,)), ((), ())))
+    acc = None
+    for t in range(k * k):
+        u, v = divmod(t, k)
+        sl = lax.slice(part, (0, u, v, t * co), (n, u + H, v + W, (t + 1) * co))
+        sl = sl.astype(jnp.float32)
+        acc = sl if acc is None else acc + sl
+    return acc.astype(x.dtype)
+
+
+def _conv_thin_cout_fwd(x, w, pad_mode):
+    return _conv_thin_cout(x, w, pad_mode), (x, w)
+
+
+def _conv_thin_cout_bwd(pad_mode, res, g):
+    x, w = res
+    k, _, ci, co = w.shape
+    p = (k - 1) // 2
+    n, H, W, _ = x.shape
+    gd = g.astype(x.dtype)
+    gp = jnp.pad(gd, ((0, 0), (p, p), (p, p), (0, 0)))
+    # gs[b,m,n,(u,v,c)] = g[b, m-u+p, n-v+p, c] (zero outside)
+    gs = jnp.concatenate(
+        [lax.slice(gp, (0, 2 * p - u, 2 * p - v, 0),
+                   (n, 2 * p - u + H, 2 * p - v + W, co))
+         for u in range(k) for v in range(k)], axis=-1)
+    wmat = w.astype(gd.dtype).transpose(0, 1, 3, 2).reshape(k * k * co, ci)
+    dx = lax.dot_general(gs, wmat, (((3,), (0,)), ((), ())),
+                         preferred_element_type=jnp.float32)
+    dx = dx.astype(x.dtype)
+    dw = jnp.einsum("bhwi,bhwj->ij", x, gs,
+                    preferred_element_type=jnp.float32)
+    dw = dw.reshape(ci, k, k, co).transpose(1, 2, 0, 3).astype(w.dtype)
+    return dx, dw
+
+
+_conv_thin_cout.defvjp(_conv_thin_cout_fwd, _conv_thin_cout_bwd)
 
 
 class SplitConv(nn.Module):
