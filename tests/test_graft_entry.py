@@ -36,4 +36,5 @@ def test_dryrun_multichip_fresh_process():
          "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
         cwd=repo, env=env, capture_output=True, text=True, timeout=580)
     assert proc.returncode == 0, proc.stderr[-2000:]
-    assert "dp step + spatial halo inference OK" in proc.stdout
+    assert ("dp step + dp epochs + spatial halo inference + dip-shard OK"
+            in proc.stdout)

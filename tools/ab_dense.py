@@ -1,0 +1,77 @@
+"""A/B the discriminator dense-head dtype routing in a training-shaped loop.
+
+The D head is (8, 73728) x (73728, 1024) + (8,1024) x (1024,1) with an f32
+master weight; at M=8 it is weight-streaming bound. Current route casts the
+master to bf16 each step (dtype=bf16 flax Dense); candidate routes the GEMM
+directly on the f32 master (flax dtype=None promotion). Measures fwd+bwd+Adam
+over a scan, per step.
+
+Run on TPU: python tools/ab_dense.py
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+import time
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def sync(x):
+    return float(jnp.sum(x))
+
+
+def run(dtype_mode: str, steps: int = 50, reps: int = 3):
+    K, N = 73728, 1024
+    rng = np.random.default_rng(0)
+    w1 = jnp.asarray(rng.normal(0, 0.01, (K, N)), jnp.float32)
+    b1 = jnp.zeros((N,), jnp.float32)
+    w2 = jnp.asarray(rng.normal(0, 0.01, (N, 1)), jnp.float32)
+    b2 = jnp.zeros((1,), jnp.float32)
+    params = {"w1": w1, "b1": b1, "w2": w2, "b2": b2}
+    x = jnp.asarray(rng.normal(0, 1, (8, K)), jnp.bfloat16)
+    opt = optax.adam(1e-4)
+    opt_state = opt.init(params)
+
+    def head(p, x):
+        if dtype_mode == "bf16":
+            h = x @ p["w1"].astype(jnp.bfloat16) + p["b1"].astype(jnp.bfloat16)
+            h = jnp.where(h > 0, h, 0.2 * h)
+            o = h @ p["w2"].astype(jnp.bfloat16) + p["b2"].astype(jnp.bfloat16)
+        else:  # f32 promotion (flax dtype=None behavior)
+            h = x.astype(jnp.float32) @ p["w1"] + p["b1"]
+            h = jnp.where(h > 0, h, 0.2 * h)
+            o = h @ p["w2"] + p["b2"]
+        return jnp.mean(o.astype(jnp.float32) ** 2)
+
+    @jax.jit
+    def run_steps(params, opt_state, x):
+        def body(carry, _):
+            p, s = carry
+            loss, g = jax.value_and_grad(head)(p, x)
+            up, s = opt.update(g, s)
+            p = optax.apply_updates(p, up)
+            return (p, s), loss
+
+        (p, s), losses = jax.lax.scan(body, (params, opt_state), None,
+                                      length=steps)
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree_util.tree_leaves(p)), losses
+
+    chk, _ = run_steps(params, opt_state, x)
+    sync(chk)
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        chk, _ = run_steps(params, opt_state, x)
+        sync(chk)
+        best = min(best, (time.perf_counter() - t0) / steps)
+    print(f"{dtype_mode}: {best*1e3:.3f} ms/step (best of {reps})", flush=True)
+    return best
+
+
+if __name__ == "__main__":
+    run("bf16")
+    run("f32")
