@@ -1,0 +1,88 @@
+"""Zero-seam batch folding (ops/batch_fold.py): exactness vs the plain
+batched conv — forward and both gradients, stride 1 and 2.
+
+This pins the math the round-4 batched Pallas conv family builds on
+(DESIGN.md "Round-4 ammunition"): folding batch into rows with seam zeros
+must be EXACT for zero-pad convs, including through the VJP (seam output
+rows carry garbage, and unfold must make their cotangents vanish)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusr.models.layers import conv_apply
+from tpusr.ops.batch_fold import (fold_rows, fold_seam, folded_conv_apply,
+                                  unfold_rows)
+
+
+def _rand(shape, seed=0):
+    return jnp.asarray(np.random.default_rng(seed).normal(size=shape),
+                       jnp.float32)
+
+
+@pytest.mark.parametrize("stride,k,h,w,ci,co", [
+    (1, 3, 12, 10, 4, 6),     # generic stride-1 k3
+    (1, 3, 8, 8, 3, 5),       # D-stem-like thin Cin
+    (2, 3, 12, 10, 4, 6),     # stride-2 (D's s2 blocks)
+    (1, 5, 12, 10, 4, 6),     # odd k > 3 (seam = 2)
+    (1, 9, 16, 16, 4, 3),     # SRGAN 9x9 head shape class
+])
+def test_folded_conv_matches_batched(stride, k, h, w, ci, co):
+    b = 4
+    x = _rand((b, h, w, ci))
+    kern = _rand((k, k, ci, co), seed=1) * 0.1
+
+    want = conv_apply(x, kern, stride, "zero")
+    got = folded_conv_apply(x, kern, stride, "zero")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("stride", [1, 2])
+def test_folded_conv_grads_match(stride):
+    b, h, w, ci, co = 3, 8, 6, 4, 5
+    x = _rand((b, h, w, ci))
+    kern = _rand((3, 3, ci, co), seed=1) * 0.1
+    cot = _rand((b, h // stride, w // stride if stride == 2 else w, co),
+                seed=2)
+
+    def loss_plain(x, kern):
+        return jnp.sum(conv_apply(x, kern, stride, "zero") * cot)
+
+    def loss_fold(x, kern):
+        return jnp.sum(folded_conv_apply(x, kern, stride, "zero") * cot)
+
+    gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x, kern)
+    gx_f, gw_f = jax.grad(loss_fold, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_p),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_seam_rows_are_dropped_not_trusted():
+    # the seam OUTPUT rows mix neighboring images; unfold must never
+    # expose them. Construct two images whose folded conv seam row is
+    # provably nonzero, and check the unfolded result equals per-image
+    # convs anyway.
+    k, s = 3, fold_seam(3, 1)
+    x = jnp.stack([jnp.ones((4, 4, 2)), 2 * jnp.ones((4, 4, 2))])
+    kern = jnp.ones((k, k, 2, 3))
+    folded = fold_rows(x, s)
+    y_full = conv_apply(folded, kern, 1, "zero")
+    seam_row = y_full[0, 4]  # mixes image 0's last row and image 1's first
+    assert float(jnp.max(jnp.abs(seam_row))) > 0
+    got = unfold_rows(y_full, 2, 4, 1)
+    want = conv_apply(x, kern, 1, "zero")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_fold_roundtrip_identity():
+    x = _rand((5, 6, 7, 2))
+    f = fold_rows(x, 2)
+    assert f.shape == (1, 5 * 8, 7, 2)
+    back = unfold_rows(f, 5, 6, 1)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))

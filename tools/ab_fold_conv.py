@@ -1,0 +1,81 @@
+"""A/B the zero-seam batch fold (ops/batch_fold.py) on the GAN-D conv shapes.
+
+Routes per shape: plain XLA batched conv vs folded batch-1 XLA conv vs (where
+fused_conv_supported admits it) the folded batch-1 Pallas kernel. Times
+fwd and fwd+bwd per dispatch. Decides whether the round-4 batched conv
+family is worth building (DESIGN.md "Round-4 ammunition").
+
+Run on TPU: python tools/ab_fold_conv.py
+"""
+import sys
+sys.path.insert(0, "/root/repo")
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tpusr.models.layers import conv_apply
+from tpusr.ops.batch_fold import fold_rows, fold_seam, folded_conv_apply, unfold_rows
+from tpusr.ops.pallas_conv import fused_conv3x3, fused_conv_supported
+
+# (label, B,H,W,Cin, Cout, stride) — the D schedule at 192² patches
+SHAPES = [
+    ("b0 64->64 s2 @192", 8, 192, 192, 64, 64, 2),
+    ("b1 64->128 s1 @96", 8, 96, 96, 64, 128, 1),
+    ("b2 128->128 s2 @96", 8, 96, 96, 128, 128, 2),
+    ("b3 128->256 s1 @48", 8, 48, 48, 128, 256, 1),
+    ("b5 256->512 s1 @24", 8, 24, 24, 256, 512, 1),
+]
+
+
+def sync(x):
+    return float(jnp.sum(x))
+
+
+def timeit(fn, *args, reps=20):
+    out = fn(*args)
+    sync(out if isinstance(out, jnp.ndarray) else out[0])
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    sync(out if isinstance(out, jnp.ndarray) else out[0])
+    return (time.perf_counter() - t0) / reps * 1e3
+
+
+def main():
+    rng = np.random.default_rng(0)
+    for label, b, h, w, ci, co, st in SHAPES:
+        x = jnp.asarray(rng.normal(size=(b, h, w, ci)), jnp.bfloat16)
+        kern = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.05,
+                           jnp.bfloat16)
+
+        plain = jax.jit(lambda x, k: conv_apply(x, k, st, "zero"))
+        folded = jax.jit(lambda x, k: folded_conv_apply(x, k, st, "zero"))
+
+        def g(f):
+            return jax.jit(jax.grad(
+                lambda x, k: jnp.sum(f(x, k).astype(jnp.float32)),
+                argnums=(0, 1)))
+
+        t_p, t_f = timeit(plain, x, kern), timeit(folded, x, kern)
+        gp, gf = g(plain), g(folded)
+        t_pg, t_fg = timeit(gp, x, kern), timeit(gf, x, kern)
+        line = (f"{label}: fwd plain {t_p:6.3f} fold {t_f:6.3f} | "
+                f"bwd plain {t_pg:6.3f} fold {t_fg:6.3f}")
+
+        s = fold_seam(3, st)
+        fshape = (1, b * (h + s), w, ci)
+        if st == 1 and fused_conv_supported(fshape, 3, 1):
+            fused = jax.jit(lambda x, k: unfold_rows(
+                fused_conv3x3(fold_rows(x, s), k, pad_mode="zero"),
+                b, h, 1))
+            t_k = timeit(fused, x, kern)
+            gk = g(fused)
+            t_kg = timeit(gk, x, kern)
+            line += f" | pallas fwd {t_k:6.3f} bwd {t_kg:6.3f}"
+        print(line, flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,88 @@
+"""Zero-seam batch folding: run batch-B zero-pad convs as batch-1, exactly.
+
+The Pallas fused-conv family (ops/pallas_conv.py) is batch-1; the GAN
+training convs are batch-8 (train_GAN.py:38-71, batch hardcoded 8 at
+train_GAN.py:169). Folding (B,H,W,C) -> (1, B*(H+s), W, C) with s zero
+"seam" rows appended to every image makes a batch-1 zero-pad conv EXACT on
+every kept output row — not an approximation:
+
+* stride 1, odd k, torch-style symmetric padding p=(k-1)//2: s = p seam
+  rows suffice. Image i's outputs live at folded rows
+  [i*(H+s), i*(H+s)+H); the s seam output rows per image mix neighboring
+  images and are DROPPED by unfold_rows. Every kept output row's receptive
+  field is own-image rows plus zero rows — identical to the zero-SAME halo
+  of the unfolded conv.
+* stride 2, k=3, p=1: s=2 preserves both the zero halo and the stride
+  phase for even H (image offsets i*(H+2) stay even; output row j of
+  image i reads folded rows i*(H+2)+2j-1 .. +2j+1, all own-image or seam).
+
+The VJP is exact by construction: unfold_rows never reads the seam output
+rows, so their cotangents are zero in the transposed conv and contribute
+nothing to dgrad/wgrad; seam INPUT rows are zero, so wgrad picks up no
+cross-image terms (image i's last kept row reads only own rows + seams).
+
+This is the batch-enabling front end for the round-4 batched conv family
+(DESIGN.md "Round-4 ammunition"); fold/unfold are whole-tensor reshapes
+plus one row-pad — one cheap memory pass each.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fold_rows(x: jnp.ndarray, seam: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (1, B*(H+seam), W, C) with `seam` zero rows appended to
+    every image (the last image's seam rows double as bottom padding)."""
+    b, h, w, c = x.shape
+    if b == 1 and seam == 0:
+        return x
+    xp = jnp.pad(x, ((0, 0), (0, seam), (0, 0), (0, 0)))
+    return xp.reshape(1, b * (h + seam), w, c)
+
+
+def unfold_rows(y: jnp.ndarray, batch: int, out_h: int,
+                stride: int = 1) -> jnp.ndarray:
+    """Inverse of fold_rows after a stride-`stride` conv: slice each image's
+    valid out_h rows, dropping the seam output rows.
+
+    y: (1, batch*block, W, C) where block = (H+seam)//stride;
+    returns (batch, out_h, W, C) with out_h = H//stride... (rows
+    [i*block, i*block+out_h) per image)."""
+    _, t, w, c = y.shape
+    block = t // batch
+    assert block * batch == t, (t, batch)
+    assert block >= out_h, (block, out_h)
+    return y.reshape(batch, block, w, c)[:, :out_h]
+
+
+def fold_seam(k: int, stride: int) -> int:
+    """Seam rows needed for exactness of a folded zero-pad conv.
+
+    stride 1: the halo depth p=(k-1)//2. stride 2 (k=3): 2, to keep image
+    offsets on the stride grid for even H. Other (k, stride) combinations
+    are not used by the SRGAN/DIP model zoo."""
+    p = (k - 1) // 2
+    if stride == 1:
+        return p
+    assert stride == 2 and k == 3, (k, stride)
+    return 2
+
+
+def folded_conv_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                      pad_mode: str) -> jnp.ndarray:
+    """conv_apply over the zero-seam fold; exact equal to the batched conv.
+
+    Requires pad_mode='zero' (seam rows emulate zero padding only) and,
+    for stride 2, even H. Measurement gate, not a default route: see
+    tools/ab_fold_conv.py before wiring this into conv_apply."""
+    from tpusr.models.layers import conv_apply
+
+    assert pad_mode == "zero", "zero-seam folding is exact for zero pad only"
+    b, h, _, _ = x.shape
+    k = kernel.shape[0]
+    if stride == 2:
+        assert h % 2 == 0, "stride-2 fold needs even H for phase alignment"
+    s = fold_seam(k, stride)
+    y = conv_apply(fold_rows(x, s), kernel, stride, pad_mode)
+    return unfold_rows(y, b, h // stride, stride)
