@@ -12,8 +12,9 @@ import numpy as np
 import pytest
 
 from tpusr.models.layers import conv_apply
-from tpusr.ops.batch_fold import (fold_rows, fold_seam, folded_conv_apply,
-                                  unfold_rows)
+from tpusr.ops.batch_fold import (fold_grid, fold_rows, fold_seam,
+                                  folded_conv_apply, folded_conv_grid,
+                                  unfold_grid, unfold_rows)
 
 
 def _rand(shape, seed=0):
@@ -78,6 +79,52 @@ def test_seam_rows_are_dropped_not_trusted():
     want = conv_apply(x, kern, 1, "zero")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("stride,seams", [
+    (1, (None, None)),        # minimal seams
+    (1, (8, 8)),              # alignment-raised seams (Pallas W%8 case)
+    (2, (None, None)),
+    (2, (4, 6)),              # raised, even (stride-grid aligned)
+])
+def test_folded_conv_grid_matches_batched(stride, seams):
+    b, h, w, ci, co = 8, 12, 10, 4, 6
+    x = _rand((b, h, w, ci))
+    kern = _rand((3, 3, ci, co), seed=1) * 0.1
+
+    want = conv_apply(x, kern, stride, "zero")
+    got = folded_conv_grid(x, kern, stride, "zero", 2, 4,
+                           seam_h=seams[0], seam_w=seams[1])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_folded_conv_grid_grads_match():
+    b, h, w, ci, co = 4, 8, 6, 3, 5
+    x = _rand((b, h, w, ci))
+    kern = _rand((3, 3, ci, co), seed=1) * 0.1
+    cot = _rand((b, h, w, co), seed=2)
+
+    def loss_plain(x, kern):
+        return jnp.sum(conv_apply(x, kern, 1, "zero") * cot)
+
+    def loss_fold(x, kern):
+        return jnp.sum(folded_conv_grid(x, kern, 1, "zero", 2, 2) * cot)
+
+    gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x, kern)
+    gx_f, gw_f = jax.grad(loss_fold, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_p),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_fold_grid_roundtrip_identity():
+    x = _rand((6, 5, 7, 2))
+    f = fold_grid(x, 2, 3, 3, 1)
+    assert f.shape == (1, 2 * 8, 3 * 8, 2)
+    back = unfold_grid(f, 2, 3, 5, 7)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
 def test_fold_roundtrip_identity():

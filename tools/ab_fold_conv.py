@@ -16,16 +16,21 @@ import jax
 import jax.numpy as jnp
 
 from tpusr.models.layers import conv_apply
-from tpusr.ops.batch_fold import fold_rows, fold_seam, folded_conv_apply, unfold_rows
+from tpusr.ops.batch_fold import (fold_grid, fold_rows, fold_seam,
+                                  folded_conv_apply, folded_conv_grid,
+                                  unfold_grid, unfold_rows)
 from tpusr.ops.pallas_conv import fused_conv3x3, fused_conv_supported
 
-# (label, B,H,W,Cin, Cout, stride) — the D schedule at 192² patches
+# (label, B,H,W,Cin, Cout, stride, grid) — the D schedule at 192² patches
+# plus a G-body shape; grid=(gh,gw,sh,sw) adds a 2-D grid-fold variant
+# (clears the Pallas W>=64 constraint for small-spatial layers).
 SHAPES = [
-    ("b0 64->64 s2 @192", 8, 192, 192, 64, 64, 2),
-    ("b1 64->128 s1 @96", 8, 96, 96, 64, 128, 1),
-    ("b2 128->128 s2 @96", 8, 96, 96, 128, 128, 2),
-    ("b3 128->256 s1 @48", 8, 48, 48, 128, 256, 1),
-    ("b5 256->512 s1 @24", 8, 24, 24, 256, 512, 1),
+    ("b0 64->64 s2 @192", 8, 192, 192, 64, 64, 2, None),
+    ("b1 64->128 s1 @96", 8, 96, 96, 64, 128, 1, None),
+    ("b2 128->128 s2 @96", 8, 96, 96, 128, 128, 2, None),
+    ("b3 128->256 s1 @48", 8, 48, 48, 128, 256, 1, (4, 2, 8, 8)),
+    ("b5 256->512 s1 @24", 8, 24, 24, 256, 512, 1, (2, 4, 8, 8)),
+    ("Gbody 64->64 s1 @24", 8, 24, 24, 64, 64, 1, (2, 4, 8, 8)),
 ]
 
 
@@ -45,7 +50,7 @@ def timeit(fn, *args, reps=20):
 
 def main():
     rng = np.random.default_rng(0)
-    for label, b, h, w, ci, co, st in SHAPES:
+    for label, b, h, w, ci, co, st, grid in SHAPES:
         x = jnp.asarray(rng.normal(size=(b, h, w, ci)), jnp.bfloat16)
         kern = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.05,
                            jnp.bfloat16)
@@ -74,6 +79,22 @@ def main():
             gk = g(fused)
             t_kg = timeit(gk, x, kern)
             line += f" | pallas fwd {t_k:6.3f} bwd {t_kg:6.3f}"
+
+        if grid is not None:
+            gh, gw, sh, sw = grid
+            gridded = jax.jit(lambda x, k: folded_conv_grid(
+                x, k, st, "zero", gh, gw, seam_h=sh, seam_w=sw))
+            t_g = timeit(gridded, x, kern)
+            t_gg = timeit(g(gridded), x, kern)
+            line += f" | gridxla fwd {t_g:6.3f} bwd {t_gg:6.3f}"
+            gshape = (1, gh * (h + sh), gw * (w + sw), ci)
+            if st == 1 and fused_conv_supported(gshape, 3, 1):
+                gfused = jax.jit(lambda x, k: unfold_grid(
+                    fused_conv3x3(fold_grid(x, gh, gw, sh, sw), k,
+                                  pad_mode="zero"), gh, gw, h, w))
+                t_gk = timeit(gfused, x, kern)
+                t_gkg = timeit(g(gfused), x, kern)
+                line += f" | gridpallas fwd {t_gk:6.3f} bwd {t_gkg:6.3f}"
         print(line, flush=True)
 
 

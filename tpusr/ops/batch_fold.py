@@ -69,6 +69,37 @@ def fold_seam(k: int, stride: int) -> int:
     return 2
 
 
+def fold_grid(x: jnp.ndarray, grid_h: int, grid_w: int, seam_h: int,
+              seam_w: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (1, grid_h*(H+seam_h), grid_w*(W+seam_w), C): tile the
+    batch on a 2-D canvas with zero seams in both axes.
+
+    Small-spatial batches (the GAN G body at 24², D's late blocks at
+    24²/48²) fold into one canvas that clears the Pallas kernels' W >= 64
+    / W%8 constraints — e.g. 8 images of 24² with seam 8 -> (1, 64, 128, C)
+    as grid 2x4. Corner exactness: a kept output pixel's receptive field
+    crosses a seam in at least one axis before reaching any neighbor image,
+    and seams are >= the halo depth, so cross-image terms are all zero."""
+    b, h, w, c = x.shape
+    assert b == grid_h * grid_w, (b, grid_h, grid_w)
+    xp = jnp.pad(x, ((0, 0), (0, seam_h), (0, seam_w), (0, 0)))
+    xp = xp.reshape(grid_h, grid_w, h + seam_h, w + seam_w, c)
+    xp = xp.transpose(0, 2, 1, 3, 4)
+    return xp.reshape(1, grid_h * (h + seam_h), grid_w * (w + seam_w), c)
+
+
+def unfold_grid(y: jnp.ndarray, grid_h: int, grid_w: int, out_h: int,
+                out_w: int) -> jnp.ndarray:
+    """Inverse of fold_grid after a conv: slice each image's valid
+    out_h x out_w block (top-left of its grid cell), restoring (B,...)."""
+    _, t_h, t_w, c = y.shape
+    bh, bw = t_h // grid_h, t_w // grid_w
+    assert bh * grid_h == t_h and bw * grid_w == t_w, (y.shape, grid_h, grid_w)
+    assert bh >= out_h and bw >= out_w, (bh, bw, out_h, out_w)
+    y = y.reshape(grid_h, bh, grid_w, bw, c).transpose(0, 2, 1, 3, 4)
+    return y.reshape(grid_h * grid_w, bh, bw, c)[:, :out_h, :out_w]
+
+
 def folded_conv_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                       pad_mode: str) -> jnp.ndarray:
     """conv_apply over the zero-seam fold; exact equal to the batched conv.
@@ -86,3 +117,27 @@ def folded_conv_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     s = fold_seam(k, stride)
     y = conv_apply(fold_rows(x, s), kernel, stride, pad_mode)
     return unfold_rows(y, b, h // stride, stride)
+
+
+def folded_conv_grid(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
+                     pad_mode: str, grid_h: int, grid_w: int,
+                     seam_h: int | None = None,
+                     seam_w: int | None = None) -> jnp.ndarray:
+    """conv_apply over a 2-D zero-seam grid fold; exact equal to the
+    batched conv. Seams default to the minimal exact value (fold_seam) but
+    may be raised (e.g. to make grid cells 8-aligned for the Pallas
+    kernels). For stride 2, cells must start on the stride grid:
+    (H+seam_h) and (W+seam_w) must be even (asserted)."""
+    from tpusr.models.layers import conv_apply
+
+    assert pad_mode == "zero", "zero-seam folding is exact for zero pad only"
+    b, h, w, _ = x.shape
+    k = kernel.shape[0]
+    s = fold_seam(k, stride)
+    seam_h = s if seam_h is None else seam_h
+    seam_w = s if seam_w is None else seam_w
+    assert seam_h >= s and seam_w >= s, (seam_h, seam_w, s)
+    assert (h + seam_h) % stride == 0 and (w + seam_w) % stride == 0
+    y = conv_apply(fold_grid(x, grid_h, grid_w, seam_h, seam_w), kernel,
+                   stride, pad_mode)
+    return unfold_grid(y, grid_h, grid_w, h // stride, w // stride)
