@@ -257,6 +257,7 @@ _WORKERS = {
     "rrdb": bench_rrdb_2k,
     "gan_train": bench_gan_train_patches,
     "echo": lambda: 42.0,   # plumbing self-test; touches no backend
+    "preflight": None,      # tiny jit: is the TPU tunnel alive at all?
 }
 
 
@@ -264,12 +265,16 @@ def _worker_main(name: str, iters: int) -> None:
     """Run one workload in this (child) process and print its value."""
     if name == "dip":
         value = bench_dip_tpu(iters)
+    elif name == "preflight":
+        import jax.numpy as jnp
+        value = _sync(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
     else:
         value = _WORKERS[name]()
     print(json.dumps({"worker": name, "value": value}))
 
 
-def _run_isolated(name: str, iters: int = 0, attempts: int = 2):
+def _run_isolated(name: str, iters: int = 0, attempts: int = 2,
+                  timeout: int = 3000):
     """Run a workload in a fresh subprocess; returns float or 'failed: ...'.
 
     A fresh process per workload keeps metrics independent (see module
@@ -281,7 +286,7 @@ def _run_isolated(name: str, iters: int = 0, attempts: int = 2):
     for _ in range(attempts):
         try:
             proc = subprocess.run(cmd, capture_output=True, text=True,
-                                  timeout=3000)
+                                  timeout=timeout)
             for line in reversed(proc.stdout.strip().splitlines()):
                 try:
                     rec = json.loads(line)
@@ -312,6 +317,18 @@ def main():
 
     dip_iters = 100 if args.quick else DIP_ITERS
     base_iters = 2 if args.quick else TORCH_BASELINE_ITERS
+
+    # Fail fast and legibly when the TPU tunnel is down (observed outages:
+    # backend init hangs forever rather than erroring) instead of eating
+    # 4 x 50-minute worker timeouts plus an unbounded in-process fallback.
+    alive = _run_isolated("preflight", timeout=900)
+    if isinstance(alive, str):
+        print(json.dumps({
+            "metric": "dip_sec_per_image_1k_iters", "value": None,
+            "unit": "seconds", "vs_baseline": None,
+            "extra": {"error": f"tpu unavailable (preflight {alive})"},
+        }))
+        return
 
     tpu_time = _run_isolated("dip", dip_iters)
     if isinstance(tpu_time, str):  # headline metric: fall back to in-process
