@@ -127,6 +127,37 @@ def test_fold_grid_roundtrip_identity():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+def test_grid_fold_through_pallas_kernel_interpret():
+    """The exact route tools/ab_fold_conv.py measures on hardware: batch-8
+    small-spatial conv as ONE fused_conv3x3 over the 2-D grid canvas
+    (interpret mode — the Mosaic path needs the real chip). Pins fwd and
+    both grads vs the plain batched conv."""
+    from tpusr.ops.pallas_conv import fused_conv3x3
+
+    b, h, w, ci, co = 8, 24, 24, 128, 128
+    gh, gw, sh, sw = 2, 4, 8, 8   # canvas (1, 64, 128, 128)
+    x = _rand((b, h, w, ci)) * 0.2
+    kern = _rand((3, 3, ci, co), seed=1) * 0.05
+    cot = _rand((b, h, w, co), seed=2)
+
+    def loss_plain(x, kern):
+        return jnp.sum(conv_apply(x, kern, 1, "zero") * cot)
+
+    def loss_grid(x, kern):
+        y = fused_conv3x3(fold_grid(x, gh, gw, sh, sw), kern,
+                          pad_mode="zero", interpret=True)
+        return jnp.sum(unfold_grid(y, gh, gw, h, w) * cot)
+
+    np.testing.assert_allclose(
+        float(loss_grid(x, kern)), float(loss_plain(x, kern)), rtol=1e-5)
+    gx_p, gw_p = jax.grad(loss_plain, argnums=(0, 1))(x, kern)
+    gx_f, gw_f = jax.grad(loss_grid, argnums=(0, 1))(x, kern)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_p),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_p),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fold_roundtrip_identity():
     x = _rand((5, 6, 7, 2))
     f = fold_rows(x, 2)
