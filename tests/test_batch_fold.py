@@ -158,6 +158,27 @@ def test_grid_fold_through_pallas_kernel_interpret():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_env_gated_fold_route_equivalence(monkeypatch):
+    """TPUSR_FOLD_BATCH=rows must be a pure routing change: a small
+    D-like conv stack (s1 + s2, batch 4) produces identical values."""
+    b = 4
+    x = _rand((b, 16, 12, 8)) * 0.3
+    k1 = _rand((3, 3, 8, 16), seed=1) * 0.1
+    k2 = _rand((3, 3, 16, 16), seed=2) * 0.1
+
+    def stack(x):
+        y = conv_apply(x, k1, 1, "zero")
+        y = jnp.maximum(y, 0.2 * y)
+        return conv_apply(y, k2, 2, "zero")
+
+    monkeypatch.delenv("TPUSR_FOLD_BATCH", raising=False)
+    want = stack(x)
+    monkeypatch.setenv("TPUSR_FOLD_BATCH", "rows")
+    got = stack(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_fold_roundtrip_identity():
     x = _rand((5, 6, 7, 2))
     f = fold_rows(x, 2)
