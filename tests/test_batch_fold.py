@@ -179,6 +179,40 @@ def test_env_gated_fold_route_equivalence(monkeypatch):
                                rtol=1e-6, atol=1e-6)
 
 
+def test_prologue_fill_makes_folded_fused_conv_exact():
+    """Prologue-carrying folded conv (interpret): zero seams LEAK
+    (act(eff_bias) != 0 in the halo); fill = -eff_bias/eff_scale restores
+    exactness. This pins the round-4 rule for folding the D's BN+lrelu
+    conv chain."""
+    from tpusr.ops.pallas_conv import fused_conv3x3
+
+    # h chosen so the folded canvas b*(h+seam)=64 is 8-row aligned
+    b, h, w, ci, co = 4, 15, 16, 128, 128
+    x = _rand((b, h, w, ci)) * 0.3
+    kern = _rand((3, 3, ci, co), seed=1) * 0.05
+    es = jnp.asarray(np.random.default_rng(3).uniform(0.5, 1.5, ci),
+                     jnp.float32)
+    eb = jnp.asarray(np.random.default_rng(4).normal(0, 0.5, ci),
+                     jnp.float32)
+
+    def act(v):
+        return jnp.where(v > 0, v, 0.2 * v)
+
+    want = conv_apply(act(x * es + eb), kern, 1, "zero")
+
+    s = fold_seam(3, 1)
+    y_zero = unfold_rows(fused_conv3x3(
+        fold_rows(x, s), kern, es, eb, act="leaky_relu", pad_mode="zero",
+        interpret=True), b, h, 1)
+    assert float(jnp.max(jnp.abs(y_zero - want))) > 1e-3  # zero seams leak
+
+    y_fill = unfold_rows(fused_conv3x3(
+        fold_rows(x, s, fill=-eb / es), kern, es, eb, act="leaky_relu",
+        pad_mode="zero", interpret=True), b, h, 1)
+    np.testing.assert_allclose(np.asarray(y_fill), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
 def test_fold_roundtrip_identity():
     x = _rand((5, 6, 7, 2))
     f = fold_rows(x, 2)

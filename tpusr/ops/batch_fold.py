@@ -31,13 +31,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def fold_rows(x: jnp.ndarray, seam: int) -> jnp.ndarray:
-    """(B,H,W,C) -> (1, B*(H+seam), W, C) with `seam` zero rows appended to
-    every image (the last image's seam rows double as bottom padding)."""
+def fold_rows(x: jnp.ndarray, seam: int,
+              fill: jnp.ndarray | None = None) -> jnp.ndarray:
+    """(B,H,W,C) -> (1, B*(H+seam), W, C) with `seam` rows appended to
+    every image (the last image's seam rows double as bottom padding).
+
+    fill (optional, (C,)): seam-row value instead of zero. Needed when the
+    conv consuming the fold carries an affine+activation PROLOGUE
+    (fused_conv3x3's eff_scale/eff_bias): a zero seam maps to
+    act(eff_bias) != 0 inside the kernel and leaks into neighboring
+    outputs' halos. fill = -eff_bias/eff_scale makes the prologue map seam
+    rows to act(0) = 0 (exact for LeakyReLU/ELU/identity, which fix 0)."""
     b, h, w, c = x.shape
     if b == 1 and seam == 0:
         return x
-    xp = jnp.pad(x, ((0, 0), (0, seam), (0, 0), (0, 0)))
+    if fill is None:
+        xp = jnp.pad(x, ((0, 0), (0, seam), (0, 0), (0, 0)))
+    else:
+        rows = jnp.broadcast_to(fill.astype(x.dtype), (b, seam, w, c))
+        xp = jnp.concatenate([x, rows], axis=1)
     return xp.reshape(1, b * (h + seam), w, c)
 
 
