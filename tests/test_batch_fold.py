@@ -213,6 +213,27 @@ def test_prologue_fill_makes_folded_fused_conv_exact():
                                rtol=2e-4, atol=2e-4)
 
 
+def test_fold_stats_correction():
+    """Canvas stats epilogue minus seam-output-row sums == stats over the
+    valid unfolded output (what the following BatchNorm consumes)."""
+    from tpusr.ops.batch_fold import fold_stats_correct
+    from tpusr.ops.pallas_conv import fused_conv3x3
+
+    b, h, w, ci, co = 4, 15, 16, 128, 128
+    x = _rand((b, h, w, ci)) * 0.3
+    kern = _rand((3, 3, ci, co), seed=1) * 0.05
+
+    y_canvas, stats = fused_conv3x3(fold_rows(x, 1), kern, pad_mode="zero",
+                                    stats=True, interpret=True)
+    fixed = fold_stats_correct(y_canvas, stats, b, h)
+
+    y_valid = unfold_rows(y_canvas, b, h, 1).astype(jnp.float32)
+    want = jnp.stack([jnp.sum(y_valid, axis=(0, 1, 2)),
+                      jnp.sum(y_valid * y_valid, axis=(0, 1, 2))])
+    np.testing.assert_allclose(np.asarray(fixed), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_fold_roundtrip_identity():
     x = _rand((5, 6, 7, 2))
     f = fold_rows(x, 2)

@@ -68,6 +68,24 @@ def unfold_rows(y: jnp.ndarray, batch: int, out_h: int,
     return y.reshape(batch, block, w, c)[:, :out_h]
 
 
+def fold_stats_correct(y_canvas: jnp.ndarray, stats: jnp.ndarray,
+                       batch: int, out_h: int) -> jnp.ndarray:
+    """Correct a fused-conv stats epilogue computed over a row-folded canvas.
+
+    The kernel's (2, Cout) [sum, sum²] reduce ALL canvas rows, including the
+    per-image seam OUTPUT rows (garbage: they mix neighboring images).
+    Those are few (batch * seam rows); subtract their contribution directly.
+    Returns stats over the valid rows only — what the following BatchNorm
+    needs (its count must be batch*out_h*W, the caller's valid size)."""
+    _, t, w, c = y_canvas.shape
+    block = t // batch
+    seam = y_canvas.reshape(batch, block, w, c)[:, out_h:]
+    seam32 = seam.astype(jnp.float32)
+    s1 = jnp.sum(seam32, axis=(0, 1, 2))
+    s2 = jnp.sum(seam32 * seam32, axis=(0, 1, 2))
+    return stats - jnp.stack([s1, s2])
+
+
 def fold_seam(k: int, stride: int) -> int:
     """Seam rows needed for exactness of a folded zero-pad conv.
 
