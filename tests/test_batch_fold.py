@@ -240,3 +240,118 @@ def test_fold_roundtrip_identity():
     assert f.shape == (1, 5 * 8, 7, 2)
     back = unfold_rows(f, 5, 6, 1)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+# ---------------------------------------------------- stride-2 packed route
+def test_space_to_depth_pack_identity():
+    """Packed stride-1 conv over s2d(x) with pack_s2_weights == stride-2
+    conv, via the pure-XLA oracle (full 3x3 kernel with zero taps)."""
+    from tpusr.ops.batch_fold import pack_s2_weights, space_to_depth2
+    from tpusr.ops.pallas_conv import _fused_ref
+
+    x = _rand((1, 12, 10, 4))
+    kern = _rand((3, 3, 4, 6), seed=1) * 0.1
+    want = conv_apply(x, kern, 2, "zero")
+    xp = space_to_depth2(x)
+    v = pack_s2_weights(kern)
+    got, _ = _fused_ref(xp, v, None, None, affine=False, act=None,
+                        reflect=False, stats=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_conv3x3_s2_packed_pallas_interpret():
+    """The 4-tap Pallas kernel (interpret) matches the stride-2 conv on a
+    D-shaped layer (b0-like geometry, scaled down in C)."""
+    from tpusr.ops.batch_fold import conv3x3_s2_packed
+
+    x = _rand((1, 128, 128, 32))
+    kern = _rand((3, 3, 32, 64), seed=1) * 0.1
+    want = conv_apply(x, kern, 2, "zero")
+    got = conv3x3_s2_packed(x, kern, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_folded_s2_pallas_matches_batched():
+    from tpusr.ops.batch_fold import folded_conv_s2_pallas
+
+    b = 4
+    x = _rand((b, 32, 128, 32))
+    kern = _rand((3, 3, 32, 32), seed=1) * 0.1
+    want = conv_apply(x, kern, 2, "zero")
+    got = folded_conv_s2_pallas(x, kern, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_folded_s2_grid_pallas_matches_batched():
+    from tpusr.ops.batch_fold import folded_conv_s2_grid_pallas
+
+    b = 8
+    x = _rand((b, 24, 24, 32))
+    kern = _rand((3, 3, 32, 64), seed=1) * 0.1
+    want = conv_apply(x, kern, 2, "zero")
+    got = folded_conv_s2_grid_pallas(x, kern, 2, 4, seam_h=8, seam_w=8,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_s2_packed_grads_match():
+    """Both cotangents of the folded 4-tap Pallas route (through the tap-
+    subset custom VJP AND the weight-packing/fold autodiff around it) match
+    plain-conv autodiff."""
+    from tpusr.ops.batch_fold import folded_conv_s2_pallas
+
+    b = 2
+    x = _rand((b, 16, 64, 32))
+    kern = _rand((3, 3, 32, 32), seed=1) * 0.1
+    cot = _rand((b, 8, 32, 32), seed=2)
+
+    def loss(f):
+        return lambda x, k: jnp.sum(f(x, k) * cot)
+
+    g_want = jax.grad(loss(lambda x, k: conv_apply(x, k, 2, "zero")),
+                      argnums=(0, 1))(x, kern)
+    g_got = jax.grad(loss(lambda x, k: folded_conv_s2_pallas(
+        x, k, interpret=True)), argnums=(0, 1))(x, kern)
+    for a, b_ in zip(g_got, g_want):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_tap_subset_matches_full_kernel():
+    """A full-9-tap call and a 4-tap call on a kernel whose other taps are
+    zero agree (fwd + grads) — pins the subset indexing in fwd/wgrad/dgrad."""
+    from tpusr.ops.batch_fold import S2_TAPS
+    from tpusr.ops.pallas_conv import fused_conv3x3
+
+    x = _rand((1, 16, 64, 128))
+    kern = _rand((3, 3, 128, 128), seed=1) * 0.1
+    mask = np.zeros((3, 3, 1, 1), np.float32)
+    for t in S2_TAPS:
+        mask[t // 3, t % 3] = 1.0
+    kz = kern * jnp.asarray(mask)
+    cot = _rand((1, 16, 64, 128), seed=2)
+
+    def loss(taps):
+        return lambda x, k: jnp.sum(fused_conv3x3(
+            x, k, pad_mode="zero", interpret=True, taps=taps) * cot)
+
+    y_full = fused_conv3x3(x, kz, pad_mode="zero", interpret=True)
+    y_sub = fused_conv3x3(x, kz, pad_mode="zero", interpret=True,
+                          taps=S2_TAPS)
+    np.testing.assert_allclose(np.asarray(y_sub), np.asarray(y_full),
+                               rtol=1e-5, atol=1e-5)
+    g_full = jax.grad(loss(None), argnums=(0, 1))(x, kz)
+    g_sub = jax.grad(loss(S2_TAPS), argnums=(0, 1))(x, kz)
+    np.testing.assert_allclose(np.asarray(g_sub[0]), np.asarray(g_full[0]),
+                               rtol=1e-5, atol=1e-5)
+    # dw at the live taps must agree; the subset path returns exact zeros at
+    # the dead taps (full-kernel autodiff computes real cotangents there,
+    # which the packing VJP would discard anyway)
+    for t in S2_TAPS:
+        np.testing.assert_allclose(np.asarray(g_sub[1][t // 3, t % 3]),
+                                   np.asarray(g_full[1][t // 3, t % 3]),
+                                   rtol=1e-5, atol=1e-5)

@@ -149,6 +149,91 @@ def folded_conv_apply(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
     return unfold_rows(y, b, h // stride, stride)
 
 
+def space_to_depth2(x: jnp.ndarray) -> jnp.ndarray:
+    """(1,H,W,C) -> (1,H/2,W/2,4C), packed channel = py*2C + px*C + c.
+
+    The front end of the stride-2-as-stride-1 route: a stride-2 k3 zero-pad
+    conv over x equals a stride-1 k3 zero-pad conv over the packed tensor
+    whose (3,3,4C,Cout) kernel (pack_s2_weights) is nonzero only at taps
+    {0,1,3,4} — so the Pallas fused conv runs it in 4 MXU tap passes with
+    K=4C (vs XLA's strided conv at the measured ~28% MXU)."""
+    n, h, w, c = x.shape
+    assert n == 1 and h % 2 == 0 and w % 2 == 0, x.shape
+    x = x.reshape(h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(1, h // 2, w // 2, 4 * c)
+
+
+S2_TAPS = (0, 1, 3, 4)  # live taps of a packed stride-2 kernel (t = 3a + b)
+
+
+def pack_s2_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,C,Cout) -> (3,3,4C,Cout) matching space_to_depth2's packing.
+
+    Output pixel (j,u) of the stride-2 conv reads original rows 2j-1..2j+1;
+    packed row j-1+a holds originals 2(j-1+a)+py, so tap (a,b) of the packed
+    kernel carries w[2a+py-1, 2b+px-1] on the (py,px) channel block — rows/
+    cols that fall outside 0..2 (e.g. original row 2j-2) are zero, which
+    leaves taps a=2, b=2 and the (a=0,py=0)/(b=0,px=0) blocks empty."""
+    k, k2, c, co = w.shape
+    assert k == 3 and k2 == 3, w.shape
+    v = jnp.zeros((3, 3, 4 * c, co), w.dtype)
+    for a in (0, 1):
+        for py in (0, 1):
+            r = 2 * a + py - 1
+            if not 0 <= r <= 2:
+                continue
+            for b in (0, 1):
+                for px in (0, 1):
+                    s = 2 * b + px - 1
+                    if not 0 <= s <= 2:
+                        continue
+                    blk = (py * 2 + px) * c
+                    v = v.at[a, b, blk:blk + c].set(w[r, s])
+    return v
+
+
+def conv3x3_s2_packed(x: jnp.ndarray, kernel: jnp.ndarray,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Stride-2 k3 zero-pad conv via space-to-depth + the 4-tap fused
+    Pallas kernel. x: (1,H,W,C) with even H,W; exact equal to
+    conv_apply(x, kernel, 2, 'zero')."""
+    from tpusr.ops.pallas_conv import fused_conv3x3
+
+    return fused_conv3x3(space_to_depth2(x), pack_s2_weights(kernel),
+                         pad_mode="zero", taps=S2_TAPS, interpret=interpret)
+
+
+def folded_conv_s2_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
+                          seam: int = 2,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Batched stride-2 conv: zero-seam row fold -> packed 4-tap Pallas.
+
+    seam must be even (stride-phase alignment); raising it beyond 2 can make
+    the packed row count divide a larger VMEM row tile. Exact equal to
+    conv_apply(x, kernel, 2, 'zero') for even H."""
+    b, h, _, _ = x.shape
+    assert h % 2 == 0 and seam % 2 == 0 and seam >= 2, (h, seam)
+    y = conv3x3_s2_packed(fold_rows(x, seam), kernel, interpret=interpret)
+    return unfold_rows(y, b, h // 2)
+
+
+def folded_conv_s2_grid_pallas(x: jnp.ndarray, kernel: jnp.ndarray,
+                               grid_h: int, grid_w: int, seam_h: int = 2,
+                               seam_w: int = 2,
+                               interpret: bool = False) -> jnp.ndarray:
+    """Batched stride-2 conv over a 2-D grid fold (small-spatial layers
+    whose packed W/2 would miss the kernel's width floor): fold -> packed
+    4-tap Pallas -> unfold. Seams must be even and >= 2."""
+    b, h, w, _ = x.shape
+    assert h % 2 == 0 and w % 2 == 0, x.shape
+    assert seam_h % 2 == 0 and seam_w % 2 == 0, (seam_h, seam_w)
+    assert seam_h >= 2 and seam_w >= 2, (seam_h, seam_w)
+    y = conv3x3_s2_packed(fold_grid(x, grid_h, grid_w, seam_h, seam_w),
+                          kernel, interpret=interpret)
+    return unfold_grid(y, grid_h, grid_w, h // 2, w // 2)
+
+
 def folded_conv_grid(x: jnp.ndarray, kernel: jnp.ndarray, stride: int,
                      pad_mode: str, grid_h: int, grid_w: int,
                      seam_h: int | None = None,

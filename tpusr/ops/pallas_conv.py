@@ -41,6 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_ALL_TAPS = (0, 1, 2, 3, 4, 5, 6, 7, 8)
+
+
 def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int,
                  has_base: bool = False) -> int:
     """Largest row-tile dividing H whose working set fits the ~16 MB VMEM:
@@ -63,7 +66,7 @@ def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int,
 
 def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
                 TH, H, W, Cin, RC, reflect, affine, act, stats, C0=None,
-                has_base=False):
+                has_base=False, taps=_ALL_TAPS):
     if has_base:
         # base: an already-computed (1,H,W,Cout) partial sum (e.g. the thin
         # skip part of a SplitConv) added in-VMEM so the stats epilogue
@@ -156,17 +159,19 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
     ar = jnp.concatenate([am[:, 1:], rcol], axis=1)       # column dx = +1
 
     # --- 3x3 conv on the MXU, f32 accumulation ---
-    # w_ref is (9, Cin, Cout), tap t = 3*dy + dx. For Cin < 128 the K dim
+    # w_ref is (T, Cin, Cout) over the STATIC tap subset `taps` (t = 3*dy+dx;
+    # the default is all 9 — a subset skips statically-zero taps, e.g. the
+    # space-to-depth stride-2 route's 4 live taps). For Cin < 128 the K dim
     # of a per-tap matmul wastes the systolic array (Cin=32 fills 1/4), so
     # taps are GROUPED: 128//Cin shifted inputs lane-concatenated to a
-    # 128-wide patch, matched by stacking the kernel rows — ceil(9C/128)
-    # MXU passes instead of 9 (2.5x fewer for C=32).
+    # 128-wide patch, matched by stacking the kernel rows — ceil(T*C/128)
+    # MXU passes instead of T (2.5x fewer for C=32).
     dn = (((2,), (0,)), ((), ()))  # contract channel dim
-    taps = [(t // 3, (al, am, ar)[t % 3]) for t in range(9)]
+    tap_srcs = [(t // 3, (al, am, ar)[t % 3]) for t in taps]
     g = max(1, 128 // RC) if RC < 128 else 1
     acc = jnp.zeros((TH, W, w_ref.shape[-1]), jnp.float32)
-    for t0 in range(0, 9, g):
-        grp = taps[t0:t0 + g]
+    for t0 in range(0, len(tap_srcs), g):
+        grp = tap_srcs[t0:t0 + g]
         if len(grp) == 1:
             dy, src = grp[0]
             patch = src[dy:dy + TH]
@@ -187,7 +192,8 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
         stat_ref[0, 1] = jnp.sum(jnp.square(y), axis=(0, 1, 2))
 
 
-def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret):
+def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret,
+                     taps=_ALL_TAPS):
     """W > 1024: column overlap-discard onto the fast 1-D banded kernel.
 
     Supersedes _fwd_pallas_2d on the auto route (round 2 measured the 2-D
@@ -212,14 +218,15 @@ def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret):
         ir = min(W, -(-(o1 + 1) // 8) * 8)
         y, _ = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                            reflect=reflect, stats=False,
-                           interpret=interpret, col_win=(il, ir - il))
+                           interpret=interpret, col_win=(il, ir - il),
+                           taps=taps)
         outs.append(y[:, :, o0 - il : o1 - il])
         o0 = o1
     return jnp.concatenate(outs, axis=2), None
 
 
 def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                col_win=None, base=None):
+                col_win=None, base=None, taps=_ALL_TAPS):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
     RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
@@ -233,7 +240,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
                               reflect=reflect, stats=stats, base=base)
         return _fwd_pallas_cols(x, w, es, eb, affine=affine, act=act,
                                 reflect=reflect, stats=stats,
-                                interpret=interpret)
+                                interpret=interpret, taps=taps)
     TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize,
                       has_base=base is not None)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
@@ -246,7 +253,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
     kern = functools.partial(
         _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin, RC=RC,
         reflect=reflect, affine=affine, act=act, stats=stats, C0=C0,
-        has_base=base is not None)
+        has_base=base is not None, taps=taps)
     out_shapes = [jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
                   jax.ShapeDtypeStruct((n, 2, Cout), jnp.float32)]
     out_specs = [
@@ -261,7 +268,10 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # es
         pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
     ]
-    operands = [x, w.reshape(9, RC, Cout), es, eb]
+    w9 = w.reshape(9, RC, Cout)
+    if taps != _ALL_TAPS:  # static subset: statically-zero taps never load
+        w9 = jnp.stack([w9[t] for t in taps])
+    operands = [x, w9, es, eb]
     if base is not None:
         in_specs.append(pl.BlockSpec((1, TH, W, Cout), lambda i: (0, i, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -285,7 +295,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
 
 # ------------------------------------------------------------ wgrad kernel
 def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
-                  TH, H, W, Cin, reflect, affine, act):
+                  TH, H, W, Cin, reflect, affine, act, taps=_ALL_TAPS):
     """dw[t] += patch_t(act(affine(x)))^T @ G per row tile.
 
     Same halo/prologue structure as _fwd_kernel (the wgrad's input padding
@@ -358,23 +368,25 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
     ar = jnp.concatenate([am[:, 1:], rcol], axis=1)
 
     g2 = g_ref[0].reshape(TH * W, g_ref.shape[-1])
-    # contract the TH*W dim: (N, Cin)^T @ (N, Cout) — K=TH*W fills the MXU
+    # contract the TH*W dim: (N, Cin)^T @ (N, Cout) — K=TH*W fills the MXU.
+    # dw_ref is (T, Cin, Cout) over the static tap subset; skipped taps'
+    # cotangents are structurally zero (the caller scatters zeros).
     dn = (((0,), (0,)), ((), ()))
-    for t in range(9):
+    for p, t in enumerate(taps):
         dy, src = t // 3, (al, am, ar)[t % 3]
         patch = src[dy:dy + TH].reshape(TH * W, Cin)
         part = jax.lax.dot_general(patch, g2, dn,
                                    preferred_element_type=jnp.float32)
         if nprog == 1:
-            dw_ref[t] = part
+            dw_ref[p] = part
         else:
             @pl.when(i == 0)
-            def _(part=part, t=t):
-                dw_ref[t] = part
+            def _(part=part, p=p):
+                dw_ref[p] = part
 
             @pl.when(i > 0)
-            def _(part=part, t=t):
-                dw_ref[t] = dw_ref[t] + part
+            def _(part=part, p=p):
+                dw_ref[p] = dw_ref[p] + part
 
 
 def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
@@ -394,18 +406,24 @@ def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
     return 0
 
 
-def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret):
-    """(9, Cin, Cout) f32 kernel cotangent via the wgrad kernel."""
+def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
+                  taps=_ALL_TAPS):
+    """(3, 3, Cin, Cout) f32 kernel cotangent via the wgrad kernel.
+
+    With a tap subset, only the live taps are computed; the rest come back
+    as exact zeros (their forward weights are statically zero, so whatever
+    cotangent they carry is discarded by the caller's weight-packing VJP)."""
     _, H, W, Cin = x.shape
     Cout = g.shape[-1]
+    T = len(taps)
     TH = _pick_tile_wgrad(H, W, Cin, Cout, x.dtype.itemsize)
     if TH == 0:
         return None
     n = H // TH
     kern = functools.partial(
         _wgrad_kernel, TH=TH, H=H, W=W, Cin=Cin,
-        reflect=reflect, affine=affine, act=act)
-    dw9 = pl.pallas_call(
+        reflect=reflect, affine=affine, act=act, taps=taps)
+    dwT = pl.pallas_call(
         kern,
         grid=(n,),
         in_specs=[
@@ -415,8 +433,8 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret):
             pl.BlockSpec(memory_space=pltpu.VMEM),  # es
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
         ],
-        out_shape=jax.ShapeDtypeStruct((9, Cin, Cout), jnp.float32),
-        out_specs=pl.BlockSpec((9, Cin, Cout), lambda i: (0, 0, 0),
+        out_shape=jax.ShapeDtypeStruct((T, Cin, Cout), jnp.float32),
+        out_specs=pl.BlockSpec((T, Cin, Cout), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((TH + 2, W, Cin), x.dtype),
@@ -424,6 +442,11 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret):
         ],
         interpret=interpret,
     )(x, g, es, eb)
+    if taps == _ALL_TAPS:
+        return dwT.reshape(3, 3, Cin, Cout)
+    dw9 = jnp.zeros((9, Cin, Cout), jnp.float32)
+    for p, t in enumerate(taps):
+        dw9 = dw9.at[t].set(dwT[p])
     return dw9.reshape(3, 3, Cin, Cout)
 
 
@@ -456,18 +479,19 @@ def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None):
 
 
 # ---------------------------------------------------------------- custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _fused_conv(x, w, es, eb, base, affine, act, reflect, stats, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_conv(x, w, es, eb, base, affine, act, reflect, stats, interpret,
+                taps):
     y, st = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                         reflect=reflect, stats=stats, interpret=interpret,
-                        base=base)
+                        base=base, taps=taps)
     return (y, st) if stats else y
 
 
 def _fused_conv_fwd(x, w, es, eb, base, affine, act, reflect, stats,
-                    interpret):
+                    interpret, taps):
     out = _fused_conv(x, w, es, eb, base, affine, act, reflect, stats,
-                      interpret)
+                      interpret, taps)
     y = out[0] if stats else out
     # y rides the residuals only for the stats cotangent (sum/sum² backprop
     # needs the primal output); it is already materialized in HBM. base
@@ -512,7 +536,7 @@ def _reflect_fold_corrections(dpa, G, wd):
     return dpa
 
 
-def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
+def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
     """Hand-built backward: exactly one dgrad conv + one wgrad conv + fused
     elementwise — no forward recompute. When shapes allow, BOTH convs run
     as Pallas kernels: dgrad IS the forward kernel with the rotated/
@@ -527,6 +551,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
     combined output cotangent G (incl. the stats sum/sum² terms)."""
     x, w, es, eb, y, base = res
     pad_c = x.shape[-1] - w.shape[2]  # lane padding on the operand (small-C)
+    xp = x  # physical (possibly lane-padded) operand for the Pallas kernels
     if pad_c:
         x = x[..., :w.shape[2]]
     if stats:
@@ -556,22 +581,43 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
     H, W = x.shape[1], x.shape[2]
     Ci, Co = wd.shape[2], wd.shape[3]
 
-    pallas_ok = (not pad_c and W <= 1024  # no wide wgrad kernel (yet)
-                 and fused_conv_supported(G.shape, 3, 1, small_c=False)
-                 and fused_conv_supported(x.shape, 3, 1, small_c=False)
+    # Small-C handling (hardware rule: row-slicing DMA of a lane-padded
+    # <128-ch HBM memref fails): the x side rides lane-padded (xp) exactly
+    # like the forward; a small Cout pads G to 128 lanes — zero pad lanes
+    # contribute nothing to dgrad (their rotated weights are zero-padded
+    # too) and produce discarded zero dw columns. Reflect stays on the
+    # no-padding path only (the strip corrections index logical channels).
+    pad_g = 128 - Co if Co in (32, 64) else 0
+    pallas_ok = (W <= 1024 and W % 8 == 0 and 64 <= W  # no wide wgrad (yet)
+                 and H % 8 == 0 and H >= 8
+                 and xp.shape[-1] % 128 == 0
+                 and (Co % 128 == 0 or pad_g)
+                 and not ((pad_c or pad_g) and (reflect or affine))
                  and _pick_tile_h(H, W, Co, Ci, x.dtype.itemsize) > 0
                  and _pick_tile_h(H, W, Ci, Co, x.dtype.itemsize) > 0)
 
     w_rot = wd[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,Cout,Cin)
+    # rotation maps tap t -> 8-t: the dgrad kernel's live taps are the
+    # forward subset mirrored through the center
+    rot_taps = tuple(sorted(8 - t for t in taps))
     if pallas_ok:
-        # dgrad = the forward kernel over G with rotated weights (zero-SAME)
-        dpa, _ = _fwd_pallas(G, w_rot, es, eb, affine=False, act=None,
-                             reflect=False, stats=False, interpret=interpret)
+        Gp = (jnp.pad(G, ((0, 0),) * 3 + ((0, pad_g),)) if pad_g else G)
+        # dgrad = the forward kernel over G with rotated weights (zero-SAME).
+        # When x was lane-padded, emit dpa lane-padded too (dx's pad lanes
+        # are discarded by the wrapper pad's own VJP) — a <128-lane output
+        # block would hit the same DMA rule.
+        w_rot_p = (jnp.pad(w_rot, ((0, 0),) * 3 + ((0, pad_c),)) if pad_c
+                   else w_rot)
+        dpa, _ = _fwd_pallas(Gp, w_rot_p, es, eb, affine=False, act=None,
+                             reflect=False, stats=False, interpret=interpret,
+                             taps=rot_taps)
+        if pad_c:
+            dpa = dpa[..., :Ci]
         if reflect:
             dpa = _reflect_fold_corrections(dpa, G, wd)
-        dw = _wgrad_pallas(x, G, es, eb, affine=affine, act=act,
-                           reflect=reflect, interpret=interpret)
-        dw = dw.astype(wd.dtype)
+        dw = _wgrad_pallas(xp, Gp, es, eb, affine=affine, act=act,
+                           reflect=reflect, interpret=interpret, taps=taps)
+        dw = dw[:, :, :Ci, :Co].astype(wd.dtype)
     else:
         # XLA path: dgrad as a forward conv through conv_apply's banded
         # fast path; T's virtual borders fold back for reflect.
@@ -625,7 +671,7 @@ _fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
                   pad_mode="reflection", stats=False, interpret=False,
-                  base=None):
+                  base=None, taps=None):
     """y = conv3x3(act(x*eff_scale+eff_bias)) [+ base] with in-kernel halos.
 
     x: (1,H,W,Cin) bf16/f32; w: (3,3,RC,Cout) with RC <= Cin. Returns y or
@@ -633,6 +679,11 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     base (optional, (1,H,W,Cout)): a precomputed partial sum added in-VMEM
     before the stats epilogue — the SplitConv merge path feeds its thin
     skip part here so the epilogue reduces the FINAL merged output.
+    taps (optional, tuple of tap indices t = 3*dy+dx): declares that all
+    OTHER taps of w are statically zero, so neither forward nor backward
+    spends MXU passes on them (the space-to-depth stride-2 route keeps 4
+    of 9). Correctness does not depend on the claim inside the reference
+    path (full w is used there), but the Pallas path trusts it.
     Differentiable via custom VJP. Callers gate on `fused_conv_supported`.
 
     Small-C convention: Mosaic cannot DMA-slice lane-padded (<128 ch) HBM
@@ -643,6 +694,7 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     at the value level and tap-groups 128//RC shifted windows per MXU pass.
     """
     affine = eff_scale is not None
+    tap_t = _ALL_TAPS if taps is None else tuple(taps)
     Cin = x.shape[-1]
     Cout = w.shape[-1]
     RC = w.shape[2]
@@ -671,10 +723,10 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
         hp = (8 - H % 8)
         xp = jnp.pad(x, ((0, 0), (0, hp), (0, 0), (0, 0)))
         y = _fused_conv(xp, w, eff_scale, eff_bias, None, affine, act,
-                        False, False, interpret)
+                        False, False, interpret, tap_t)
         return y[:, :H]
     return _fused_conv(x, w, eff_scale, eff_bias, base, affine, act,
-                       pad_mode == "reflection", stats, interpret)
+                       pad_mode == "reflection", stats, interpret, tap_t)
 
 
 def fused_conv_supported(x_shape, k: int, stride: int,
