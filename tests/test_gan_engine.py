@@ -93,3 +93,57 @@ def test_adv_weight_scales_adversarial_term():
     _, logs_h = gan_train_step(state, lr, hr, cfg_h, 1e-4)
     np.testing.assert_allclose(float(logs_h["loss_G"] - logs0["loss_G"]),
                                gap / 2, rtol=1e-4)
+
+
+def test_folded_d_step_matches_default(monkeypatch):
+    """TPUSR_D_FOLD=interpret routes the D through the folded zero-seam
+    Pallas dataflow; one full train step must produce the same updates,
+    losses, and BN stats as the default flax path. Calls _train_step_core
+    directly: the env gate is read at trace time, so the jitted wrapper's
+    cache must not be shared across gate settings within one process."""
+    import optax
+    from tpusr.engine.gan import _train_step_core
+
+    cfg = GANTrainConfig(factor=8, batch_size=4, hr_patch=64,
+                         residual_blocks_count=2)
+    rng = np.random.default_rng(7)
+    lr_b = jnp.asarray(rng.random((4, 8, 8, 3)), jnp.float32)
+    hr_b = jnp.asarray(rng.random((4, 64, 64, 3)) * 2 - 1, jnp.float32)
+    state = create_gan_state(jax.random.key(3), cfg, 1e-4)
+    # SGD, not Adam: Adam's normalization amplifies float-noise-level grad
+    # differences on near-zero-gradient entries to a full ±lr step (and D
+    # conv-bias grads are mathematically zero), which is not a routing
+    # property. With plain SGD the post-step params differ exactly by the
+    # gradient difference — the thing this test pins.
+    tx = optax.sgd(1.0)
+
+    monkeypatch.delenv("TPUSR_D_FOLD", raising=False)
+    want_state, want_logs = _train_step_core(state, lr_b, hr_b, cfg, tx,
+                                             lambda a, b: jnp.mean(
+                                                 jnp.square(a - b)))
+    monkeypatch.setenv("TPUSR_D_FOLD", "interpret")
+    got_state, got_logs = _train_step_core(state, lr_b, hr_b, cfg, tx,
+                                           lambda a, b: jnp.mean(
+                                               jnp.square(a - b)))
+    np.testing.assert_allclose(float(got_logs["loss_D"]),
+                               float(want_logs["loss_D"]), rtol=1e-4)
+    np.testing.assert_allclose(float(got_logs["loss_G"]),
+                               float(want_logs["loss_G"]), rtol=1e-4)
+    # Tolerance rationale (measured, see DESIGN.md "folded D"): the two
+    # paths' FORWARDS agree to f32-stat rounding (~1e-7 rel — both sum BN
+    # statistics in f32, in different orders), but the random-init D's
+    # GRADIENTS are chaotic at that perturbation scale: a 1e-8 input
+    # perturbation moves the flax path's own stem/block grads by 1e-3..2e-2
+    # (deep BN chains amplify micro-changes through var^{-3/2} backward
+    # terms). Exactness of the folded conv VJPs themselves is pinned to
+    # 1e-13 in tests/test_batch_fold.py; this test pins routing, losses,
+    # stats propagation, and grad agreement at the chaos floor.
+    for name, attr in (("params_D", "params_D"), ("stats_D", "stats_D"),
+                       ("params_G", "params_G")):
+        w = jax.tree_util.tree_leaves_with_path(getattr(want_state, attr))
+        g = dict(jax.tree_util.tree_leaves_with_path(getattr(got_state,
+                                                             attr)))
+        for path, leaf in w:
+            np.testing.assert_allclose(
+                np.asarray(g[path]), np.asarray(leaf), rtol=2e-2, atol=3e-2,
+                err_msg=f"{name}{jax.tree_util.keystr(path)}")

@@ -1,0 +1,103 @@
+"""Folded discriminator dataflow (models/srgan_folded.py) vs the flax
+Discriminator — logits, BN running stats, and gradients must match exactly
+(same math, different execution geometry). Pallas runs interpret-mode here;
+the compiled path is exercised on hardware by tools/ab_fold_conv.py and the
+TPUSR_D_FOLD full-step A/B."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusr.models.srgan import Discriminator
+from tpusr.models.srgan_folded import (discriminator_apply_folded,
+                                       folded_d_supported)
+
+B, HR = 4, 64
+
+
+@pytest.fixture(scope="module")
+def d_setup():
+    d = Discriminator()
+    x = jnp.asarray(
+        np.random.default_rng(0).uniform(-1, 1, (B, HR, HR, 3)), jnp.float32)
+    v = d.init(jax.random.PRNGKey(1), jnp.zeros((1, HR, HR, 3)))
+    return d, v["params"], v["batch_stats"], x
+
+
+def _flax_apply(d, p, st, x, train=True):
+    out, upd = d.apply({"params": p, "batch_stats": st}, x, train,
+                       mutable=["batch_stats"])
+    return out, upd["batch_stats"]
+
+
+def test_supported_gate():
+    assert folded_d_supported((8, 192, 192, 3))
+    assert folded_d_supported((4, 64, 64, 3))
+    assert not folded_d_supported((8, 100, 100, 3))   # not 16-divisible
+    assert not folded_d_supported((3, 64, 64, 3))     # odd batch
+    assert not folded_d_supported((8, 192, 96, 3))    # non-square
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_folded_matches_flax(d_setup, train):
+    d, p, st, x = d_setup
+    want, want_st = _flax_apply(d, p, st, x, train)
+    got, got_st = discriminator_apply_folded(p, st, x, train=train,
+                                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    for k in want_st:
+        for f in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(got_st[k][f]),
+                                       np.asarray(want_st[k][f]),
+                                       rtol=1e-4, atol=1e-5, err_msg=(k, f))
+
+
+def test_folded_grads_match_flax(d_setup):
+    """Param and input cotangents through a D-loss-like scalar agree — the
+    folded dataflow's seam masking/stat corrections must be gradient-exact,
+    not just forward-exact."""
+    d, p, st, x = d_setup
+    cot = jnp.asarray(np.random.default_rng(2).normal(size=(B, 1)),
+                      jnp.float32)
+
+    def loss_flax(p_, x_):
+        out, _ = _flax_apply(d, p_, st, x_, True)
+        return jnp.sum(out * cot)
+
+    def loss_fold(p_, x_):
+        out, _ = discriminator_apply_folded(p_, st, x_, train=True,
+                                            interpret=True)
+        return jnp.sum(out * cot)
+
+    gw, gx = jax.grad(loss_flax, argnums=(0, 1))(p, x)
+    fw, fx = jax.grad(loss_fold, argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(fx), np.asarray(gx),
+                               rtol=2e-3, atol=1e-3)
+    flat_g = jax.tree_util.tree_leaves_with_path(gw)
+    flat_f = dict(jax.tree_util.tree_leaves_with_path(fw))
+    for path, leaf in flat_g:
+        got = flat_f[path]
+        # Tolerances sit at the D's measured gradient-chaos floor: both
+        # paths sum BN stats in f32 (different orders, ~1e-7 forward rel
+        # diff) and a random-init D's grads move 1e-3..2e-2 under 1e-8
+        # forward perturbations (BN-chain amplification — measured against
+        # flax itself). Conv-bias grads are mathematically ZERO (BN shift
+        # invariance): the folded path cancels exactly, flax leaves ~1e-6
+        # noise — hence the atol floor. VJP exactness of the folded convs
+        # is pinned to 1e-13 in tests/test_batch_fold.py.
+        np.testing.assert_allclose(np.asarray(got), np.asarray(leaf),
+                                   rtol=2e-2, atol=1e-3,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_folded_bf16(d_setup):
+    """bf16 activations: folded and flax paths agree within bf16 noise."""
+    d16 = Discriminator(dtype="bfloat16")
+    _, p, st, x = d_setup
+    want, _ = _flax_apply(d16, p, st, x, True)
+    got, _ = discriminator_apply_folded(p, st, x, train=True,
+                                        dtype="bfloat16", interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0.1, atol=0.35)

@@ -122,7 +122,23 @@ def _train_step_core(
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]
 
+    # EXPERIMENTAL, default off (TPUSR_D_FOLD=1, or =interpret for CPU
+    # tests): run the discriminator through the folded zero-seam Pallas
+    # dataflow (models/srgan_folded.py) — same math, golden-tested; the
+    # routing decision is measurement-gated by a full-step A/B on hardware.
+    import os as _os
+    _fold = _os.environ.get("TPUSR_D_FOLD", "0")
+
     def d_apply(p, st, x, train=True):
+        if _fold != "0":
+            from tpusr.models.srgan_folded import (
+                discriminator_apply_folded, folded_d_supported)
+            from tpusr.ops.pallas_conv import fused_conv_available
+            interp = _fold == "interpret"
+            if folded_d_supported(x.shape) and (interp
+                                                or fused_conv_available()):
+                return discriminator_apply_folded(
+                    p, st, x, train, dtype=config.dtype, interpret=interp)
         out, upd = d.apply({"params": p, "batch_stats": st}, x, train,
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]

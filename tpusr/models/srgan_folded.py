@@ -1,0 +1,175 @@
+"""Folded SRGAN discriminator forward: the whole conv stack as batch-1
+zero-seam canvases through the fused Pallas conv family.
+
+Reference workload: the D updates of ``do_epoch`` (train_GAN.py:38-53) at
+batch 8 (hardcoded, train_GAN.py:169) on 192² HR patches
+(discriminator.py:21-74 topology). The flax ``Discriminator``
+(models/srgan.py) remains the source of truth for parameters, eval, and
+checkpoints; this module re-executes the SAME math as one folded dataflow:
+
+  * the batch rides zero-seam canvases (ops/batch_fold.py), so every conv is
+    batch-1 and Pallas-reachable; stride-2 convs run as 4-tap stride-1
+    convs over a 2x2 space-to-depth packing (K = 4C MXU passes);
+  * each conv's kernel reduces per-channel sum/sum² in its epilogue; the
+    seam rows' contribution is subtracted (fold_stats_correct*), so
+    BatchNorm never re-reads the tensor;
+  * BN normalize + LeakyReLU + seam re-zeroing fuse into ONE elementwise
+    pass between convs (the seam mask multiply restores exact zero seams,
+    which is what makes staying folded exact layer after layer);
+  * spatial dims halve at each stride-2 block, so the canvas is refolded
+    (rows -> 2x4 grids) three times to keep W inside the kernels' sublane
+    constraints; refolds are cheap reshape+pad passes on shrinking tensors.
+
+Exactness (fwd, grads, and BN running stats) is golden-tested against
+``Discriminator.apply`` in tests/test_srgan_folded.py. Routing is
+measurement-gated: engine/gan.py consults TPUSR_D_FOLD (default off) and
+the full-step A/B decides (tools/ab_fold_conv.py measures per-shape).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tpusr.models.layers import conv_apply, leaky_relu
+from tpusr.ops.batch_fold import (S2_TAPS, fold_grid, fold_rows,
+                                  fold_stats_correct,
+                                  fold_stats_correct_grid, pack_s2_weights,
+                                  seam_mask_grid, seam_mask_rows,
+                                  space_to_depth2, unfold_grid, unfold_rows)
+from tpusr.ops.pallas_conv import fused_conv3x3
+
+# D schedule after the stem (discriminator.py:29-35)
+_SCHEDULE = [(64, 2), (128, 1), (128, 2), (256, 1), (256, 2), (512, 1),
+             (512, 2)]
+
+
+def folded_d_supported(x_shape) -> bool:
+    """Shapes this dataflow covers: the reference training geometry class
+    (square patches, 16-divisible so all three refold stages stay even for
+    space-to-depth, batch even for the 2xN refold grids)."""
+    if len(x_shape) != 4:
+        return False
+    b, h, w, c = x_shape
+    return (c == 3 and h == w and h % 16 == 0 and h >= 64
+            and b % 2 == 0 and b >= 4)
+
+
+def _bn_act_mask(y, stats2c, n, cb, scale, bias, ra_mean, ra_var, train,
+                 mask, eps=1e-5, momentum=0.1):
+    """BatchNorm (torch semantics, models/layers.py:293-367 conv_stats
+    branch) + LeakyReLU(0.2) + seam re-zero as one fused elementwise pass.
+
+    y is the BIAS-FREE conv output canvas; stats2c = seam-corrected
+    [sum, sum²] over the n valid positions; cb = the conv bias, folded
+    into the affine exactly (mean(y+cb) = sum/n + cb, var shift-invariant).
+    Returns (z, new_ra_mean, new_ra_var)."""
+    if train:
+        m_raw = stats2c[0] / n
+        var = jnp.maximum(stats2c[1] / n - jnp.square(m_raw), 0.0)
+        mean = m_raw + cb
+        unbiased = var * (n / max(n - 1, 1))
+        new_mean = (1 - momentum) * ra_mean + momentum * mean
+        new_var = (1 - momentum) * ra_var + momentum * unbiased
+        use_mean, use_var = mean, var
+    else:
+        new_mean, new_var = ra_mean, ra_var
+        use_mean, use_var = ra_mean, ra_var
+    inv = jax.lax.rsqrt(use_var + eps)
+    es = inv * scale
+    eb = bias - (use_mean - cb) * inv * scale
+    z = y * es.astype(y.dtype) + eb.astype(y.dtype)
+    z = leaky_relu(z, 0.2)
+    if mask is not None:
+        z = z * mask.astype(z.dtype)
+    return z, new_mean, new_var
+
+
+def discriminator_apply_folded(params, batch_stats, x, train: bool = True,
+                               dtype: Any = None, interpret: bool = False):
+    """Drop-in for ``Discriminator.apply`` on (B, P, P, 3) HR patches.
+
+    params / batch_stats: the flax Discriminator trees (same names).
+    Returns (logits (B,1) float32, new_batch_stats)."""
+    b, hr, _, _ = x.shape
+    assert folded_d_supported(x.shape), x.shape
+    gh, gw = 2, b // 2
+    if dtype is not None:
+        x = x.astype(dtype)
+    cdtype = x.dtype
+
+    def conv_w(name):
+        p = params[name]
+        return p["kernel"].astype(cdtype), p["bias"]
+
+    new_stats = {}
+
+    # ---- stage A: row fold (seam 4 keeps the stride-2 phase; block P+4) --
+    block_a = hr + 4
+    xf = fold_rows(x, 4)                       # (1, B*(P+4), P, 3)
+    kw, kb = conv_w("conv")
+    z = conv_apply(xf, kw, 1, "zero") + kb.astype(cdtype)
+    z = leaky_relu(z, 0.2)
+    z = z * seam_mask_rows(b, block_a, hr).astype(cdtype)
+
+    stage = "rows"           # current fold kind
+    vh = vw = hr             # valid spatial dims of the canvas cells
+    blk = block_a            # rows-stage block height
+
+    for i, (ch, st) in enumerate(_SCHEDULE):
+        # refold to a fresh 2xN grid when the rows-stage W or the inherited
+        # grid cells would leave the Pallas family's sublane constraints
+        # (stage boundaries: before b2 / b4 / b6 — i.e. every s2 block
+        # after the first)
+        if st == 2 and i > 0:
+            if stage == "rows":
+                z = unfold_rows(z, b, vh)
+            else:
+                z = unfold_grid(z, gh, gw, vh, vw)
+            z = fold_grid(z, gh, gw, 8, 8)
+            stage, vw = "grid", vh
+            blk = vh + 8
+
+        kw, kb = conv_w(f"block{i}_conv")
+        if st == 2:
+            xin = space_to_depth2(z)
+            y, st2 = fused_conv3x3(xin, pack_s2_weights(kw), pad_mode="zero",
+                                   stats=True, taps=S2_TAPS,
+                                   interpret=interpret)
+            vh, vw, blk = vh // 2, vw // 2, blk // 2
+        else:
+            y, st2 = fused_conv3x3(z, kw, pad_mode="zero", stats=True,
+                                   interpret=interpret)
+
+        if stage == "rows":
+            st2 = fold_stats_correct(y, st2, b, vh)
+            mask = None if i == len(_SCHEDULE) - 1 else seam_mask_rows(
+                b, blk, vh)
+        else:
+            st2 = fold_stats_correct_grid(y, st2, gh, gw, vh, vw)
+            mask = None if i == len(_SCHEDULE) - 1 else seam_mask_grid(
+                gh, gw, blk, blk, vh, vw)
+
+        bn = params[f"block{i}_bn"]
+        ra = batch_stats[f"block{i}_bn"]
+        n = b * vh * vw
+        z, nm, nv = _bn_act_mask(y, st2, n, kb, bn["scale"], bn["bias"],
+                                 ra["mean"], ra["var"], train, mask)
+        new_stats[f"block{i}_bn"] = {"mean": nm, "var": nv}
+
+    if stage == "rows":
+        z = unfold_rows(z, b, vh)
+    else:
+        z = unfold_grid(z, gh, gw, vh, vw)
+
+    # ---- dense head (discriminator.py:40-45; NHWC flatten as in the flax
+    # module — io/checkpoint.py handles the .pth permutation) ----
+    z = z.reshape(b, -1)
+    d1 = params["dense1"]["Dense_0"]
+    z = z @ d1["kernel"].astype(cdtype) + d1["bias"].astype(cdtype)
+    z = leaky_relu(z, 0.2)
+    d2 = params["dense2"]["Dense_0"]
+    logits = z @ d2["kernel"].astype(cdtype) + d2["bias"].astype(cdtype)
+    return logits.astype(jnp.float32), new_stats

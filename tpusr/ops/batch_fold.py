@@ -86,6 +86,46 @@ def fold_stats_correct(y_canvas: jnp.ndarray, stats: jnp.ndarray,
     return stats - jnp.stack([s1, s2])
 
 
+def fold_stats_correct_grid(y_canvas: jnp.ndarray, stats: jnp.ndarray,
+                            grid_h: int, grid_w: int, vh: int,
+                            vw: int) -> jnp.ndarray:
+    """Grid-canvas version of fold_stats_correct: subtract the seam region's
+    contribution from a (2, C) [sum, sum²] epilogue. Seam region per cell =
+    rows beyond vh (full cell width) + cols beyond vw within valid rows."""
+    _, th, tw, c = y_canvas.shape
+    ch, cw = th // grid_h, tw // grid_w
+    yc = y_canvas.reshape(grid_h, ch, grid_w, cw, c)
+    rows = yc[:, vh:].astype(jnp.float32)
+    cols = yc[:, :vh, :, vw:].astype(jnp.float32)
+    red = (0, 1, 2, 3)
+    s1 = jnp.sum(rows, axis=red) + jnp.sum(cols, axis=red)
+    s2 = jnp.sum(rows * rows, axis=red) + jnp.sum(cols * cols, axis=red)
+    return stats - jnp.stack([s1, s2])
+
+
+def seam_mask_rows(batch: int, block: int, valid: int) -> jnp.ndarray:
+    """(1, batch*block, 1, 1) 0/1 mask: 1 on each image's valid rows, 0 on
+    its seam rows — multiplied in after each folded layer's activation so
+    cross-image garbage in seam OUTPUT rows never reaches the next conv."""
+    import numpy as np
+
+    m = np.zeros((batch, block, 1, 1), np.float32)
+    m[:, :valid] = 1.0
+    return jnp.asarray(m.reshape(1, batch * block, 1, 1))
+
+
+def seam_mask_grid(grid_h: int, grid_w: int, ch: int, cw: int, vh: int,
+                   vw: int) -> jnp.ndarray:
+    """(1, grid_h*ch, grid_w*cw, 1) 0/1 mask over a grid canvas: 1 on each
+    cell's valid vh x vw block, 0 on its seam rows/cols."""
+    import numpy as np
+
+    cell = np.zeros((ch, cw), np.float32)
+    cell[:vh, :vw] = 1.0
+    m = np.tile(cell, (grid_h, grid_w))
+    return jnp.asarray(m[None, :, :, None])
+
+
 def fold_seam(k: int, stride: int) -> int:
     """Seam rows needed for exactness of a folded zero-pad conv.
 

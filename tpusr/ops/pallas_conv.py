@@ -389,18 +389,21 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
                 dw_ref[p] = dw_ref[p] + part
 
 
-def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
+def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int,
+                     n_taps: int = 9) -> int:
     """wgrad-specific VMEM budget: no (TH,W,Cout) accumulator/output blocks
-    (dw is a tiny revisited (9,Cin,Cout) block), so the row tile can be 2x
-    the forward's — measured 1.17 -> 0.99 ms at (512,512,128->128) bf16
-    (fewer grid programs: half the DMA waits and dw accumulation passes)."""
+    (dw is a tiny revisited (n_taps,Cin,Cout) block), so the row tile can be
+    2x the forward's — measured 1.17 -> 0.99 ms at (512,512,128->128) bf16
+    (fewer grid programs: half the DMA waits and dw accumulation passes).
+    Returns 0 when nothing fits (e.g. huge packed-channel dw blocks) — the
+    caller must fall back to the XLA wgrad for that operand."""
     budget = 11 * 1024 * 1024
     for th in (64, 32, 16, 8):
         if H % th != 0:
             continue
         win = (th + 2) * W * max(Cin, 128) * isz
         gblk = th * W * max(Cout, 128) * isz
-        dw = 9 * max(Cin, 128) * max(Cout, 128) * 4
+        dw = n_taps * max(Cin, 128) * max(Cout, 128) * 4
         if 3 * win + gblk + dw <= budget:
             return th
     return 0
@@ -416,7 +419,7 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
     _, H, W, Cin = x.shape
     Cout = g.shape[-1]
     T = len(taps)
-    TH = _pick_tile_wgrad(H, W, Cin, Cout, x.dtype.itemsize)
+    TH = _pick_tile_wgrad(H, W, Cin, Cout, x.dtype.itemsize, n_taps=T)
     if TH == 0:
         return None
     n = H // TH
@@ -600,6 +603,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
     # rotation maps tap t -> 8-t: the dgrad kernel's live taps are the
     # forward subset mirrored through the center
     rot_taps = tuple(sorted(8 - t for t in taps))
+    dpa = dw = None
     if pallas_ok:
         Gp = (jnp.pad(G, ((0, 0),) * 3 + ((0, pad_g),)) if pad_g else G)
         # dgrad = the forward kernel over G with rotated weights (zero-SAME).
@@ -615,10 +619,14 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
             dpa = dpa[..., :Ci]
         if reflect:
             dpa = _reflect_fold_corrections(dpa, G, wd)
-        dw = _wgrad_pallas(xp, Gp, es, eb, affine=affine, act=act,
-                           reflect=reflect, interpret=interpret, taps=taps)
-        dw = dw[:, :, :Ci, :Co].astype(wd.dtype)
-    else:
+        # wgrad may independently not fit VMEM (its dw output block scales
+        # with Cin*Cout — packed-channel convs can exceed the budget even
+        # when the dgrad side fits); fall back per-operand, not per-conv.
+        dwp = _wgrad_pallas(xp, Gp, es, eb, affine=affine, act=act,
+                            reflect=reflect, interpret=interpret, taps=taps)
+        if dwp is not None:
+            dw = dwp[:, :, :Ci, :Co].astype(wd.dtype)
+    if dpa is None:
         # XLA path: dgrad as a forward conv through conv_apply's banded
         # fast path; T's virtual borders fold back for reflect.
         from tpusr.models.layers import conv_apply
@@ -634,7 +642,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
             dpa = dpa.at[:, H - 2].add(Tc[:, H + 1])
         else:
             dpa = conv_apply(G, w_rot, 1, "zero")
-
+    if dw is None:
         # wgrad: conv is linear in w too
         app = jnp.pad(pa, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
 
