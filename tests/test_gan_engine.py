@@ -147,3 +147,27 @@ def test_folded_d_step_matches_default(monkeypatch):
             np.testing.assert_allclose(
                 np.asarray(g[path]), np.asarray(leaf), rtol=2e-2, atol=3e-2,
                 err_msg=f"{name}{jax.tree_util.keystr(path)}")
+
+
+def test_g_fuse_route_matches_default(monkeypatch):
+    """TPUSR_G_FUSE=1 (+TPUSR_CONV_FUSION=interpret on CPU) routes the G's
+    3x3 convs through the fused kernel on qualifying shapes; a full-image
+    eval forward must match the default banded-XLA path."""
+    from tpusr.engine.gan import _models
+
+    cfg = GANTrainConfig(factor=4, residual_blocks_count=2)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
+
+    monkeypatch.delenv("TPUSR_G_FUSE", raising=False)
+    g0, _ = _models(cfg)
+    v = g0.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
+    want, _ = g0.apply(v, x, True, mutable=["batch_stats"])
+
+    monkeypatch.setenv("TPUSR_G_FUSE", "1")
+    monkeypatch.setenv("TPUSR_CONV_FUSION", "interpret")
+    g1, _ = _models(cfg)
+    assert g1.auto_fuse
+    got, _ = g1.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)

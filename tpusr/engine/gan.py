@@ -66,10 +66,16 @@ class GANTrainState(struct.PyTreeNode):
 
 
 def _models(config: GANTrainConfig) -> tuple[Generator, Discriminator]:
+    # EXPERIMENTAL, default off (TPUSR_G_FUSE=1): route the generator's 3x3
+    # convs through the fused Pallas kernel where shapes qualify (batch-1
+    # full-image eval; batched training convs fall through the n==1 gate).
+    # Measurement-gated: tools/ab_g_fuse.py.
+    import os
+    g_fuse = os.environ.get("TPUSR_G_FUSE", "0") == "1"
     return (
         Generator(factor=config.factor,
                   residual_blocks_count=config.residual_blocks_count,
-                  dtype=config.dtype),
+                  dtype=config.dtype, auto_fuse=g_fuse),
         Discriminator(dtype=config.dtype),
     )
 

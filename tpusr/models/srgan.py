@@ -30,14 +30,17 @@ class ResidualBlock(nn.Module):
     """conv k3 -> BN -> PReLU -> conv k3 -> BN -> +x (generator.py:4-25)."""
 
     dtype: Any = None
+    auto_fuse: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ura = not train
-        z = Conv(64, 3, dtype=self.dtype, name="conv1")(x)
+        z = Conv(64, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
+                 name="conv1")(x)
         z = BatchNorm(name="bn1")(z, ura)
         z = PReLU(name="prelu1")(z)
-        z = Conv(64, 3, dtype=self.dtype, name="conv2")(z)
+        z = Conv(64, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
+                 name="conv2")(z)
         z = BatchNorm(name="bn2")(z, ura)
         return x + z
 
@@ -46,10 +49,12 @@ class PixelShuffleBlock(nn.Module):
     """conv 64->256 k3 -> PixelShuffle(2) -> PReLU (generator.py:27-41)."""
 
     dtype: Any = None
+    auto_fuse: bool = False
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(256, 3, dtype=self.dtype, name="conv1")(x)
+        x = Conv(256, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
+                 name="conv1")(x)
         x = pixel_shuffle(x, 2)
         return PReLU(name="prelu1")(x)
 
@@ -66,6 +71,12 @@ class Generator(nn.Module):
     factor: int = 8
     residual_blocks_count: int = 16
     dtype: Any = None
+    # Route the 3x3 convs through the fused Pallas kernel when the shape
+    # qualifies (batch-1 full-image eval; training batches fall through the
+    # n==1 gate automatically). EXPERIMENTAL, default off — set via
+    # TPUSR_G_FUSE=1 (engine/gan.py _models); the eval A/B decides
+    # (tools/ab_g_fuse.py).
+    auto_fuse: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -79,14 +90,18 @@ class Generator(nn.Module):
 
         z = x0
         for i in range(self.residual_blocks_count):
-            z = ResidualBlock(dtype=self.dtype, name=f"res{i}")(z, train)
+            z = ResidualBlock(dtype=self.dtype, auto_fuse=self.auto_fuse,
+                              name=f"res{i}")(z, train)
 
-        z = Conv(64, 3, dtype=self.dtype, name="conv2")(z)
+        z = Conv(64, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
+                 name="conv2")(z)
         z = BatchNorm(name="bn1")(z, ura)
         z = x0 + z  # long skip (generator.py:74)
 
         for i in range(n_shuffles):
-            z = PixelShuffleBlock(dtype=self.dtype, name=f"ps{i}")(z)
+            z = PixelShuffleBlock(dtype=self.dtype,
+                                  auto_fuse=self.auto_fuse,
+                                  name=f"ps{i}")(z)
 
         z = Conv(3, 9, dtype=self.dtype, name="conv3")(z)
         return jnp.tanh(z.astype(jnp.float32))
