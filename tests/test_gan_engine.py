@@ -95,19 +95,25 @@ def test_adv_weight_scales_adversarial_term():
                                gap / 2, rtol=1e-4)
 
 
-def test_folded_d_step_matches_default(monkeypatch):
-    """TPUSR_D_FOLD=interpret routes the D through the folded zero-seam
-    Pallas dataflow; one full train step must produce the same updates,
-    losses, and BN stats as the default flax path. Calls _train_step_core
-    directly: the env gate is read at trace time, so the jitted wrapper's
-    cache must not be shared across gate settings within one process."""
+@pytest.mark.parametrize("gates", [("TPUSR_D_FOLD",),
+                                   ("TPUSR_G_FOLD",),
+                                   ("TPUSR_D_FOLD", "TPUSR_G_FOLD")])
+def test_folded_step_matches_default(monkeypatch, gates):
+    """TPUSR_D_FOLD / TPUSR_G_FOLD =interpret route the D / G through the
+    folded zero-seam Pallas dataflows; one full train step must produce the
+    same updates, losses, and BN stats as the default flax path. Calls
+    _train_step_core directly: the env gates are read at trace time, so the
+    jitted wrapper's cache must not be shared across gate settings within
+    one process."""
     import optax
     from tpusr.engine.gan import _train_step_core
 
-    cfg = GANTrainConfig(factor=8, batch_size=4, hr_patch=64,
+    # factor 2 at 64² patches: LR patches are (4,32,32,3), which both
+    # folded_d_supported and folded_g_supported admit
+    cfg = GANTrainConfig(factor=2, batch_size=4, hr_patch=64,
                          residual_blocks_count=2)
     rng = np.random.default_rng(7)
-    lr_b = jnp.asarray(rng.random((4, 8, 8, 3)), jnp.float32)
+    lr_b = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
     hr_b = jnp.asarray(rng.random((4, 64, 64, 3)) * 2 - 1, jnp.float32)
     state = create_gan_state(jax.random.key(3), cfg, 1e-4)
     # SGD, not Adam: Adam's normalization amplifies float-noise-level grad
@@ -118,10 +124,12 @@ def test_folded_d_step_matches_default(monkeypatch):
     tx = optax.sgd(1.0)
 
     monkeypatch.delenv("TPUSR_D_FOLD", raising=False)
+    monkeypatch.delenv("TPUSR_G_FOLD", raising=False)
     want_state, want_logs = _train_step_core(state, lr_b, hr_b, cfg, tx,
                                              lambda a, b: jnp.mean(
                                                  jnp.square(a - b)))
-    monkeypatch.setenv("TPUSR_D_FOLD", "interpret")
+    for gate in gates:
+        monkeypatch.setenv(gate, "interpret")
     got_state, got_logs = _train_step_core(state, lr_b, hr_b, cfg, tx,
                                            lambda a, b: jnp.mean(
                                                jnp.square(a - b)))

@@ -16,11 +16,19 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(fold: bool) -> str:
+VARIANTS = {
+    "default": {},
+    "dfold": {"TPUSR_D_FOLD": "1"},
+    "gfold": {"TPUSR_G_FOLD": "1"},
+    "both": {"TPUSR_D_FOLD": "1", "TPUSR_G_FOLD": "1"},
+}
+
+
+def run(extra_env: dict) -> str:
     env = dict(os.environ)
     env.pop("TPUSR_D_FOLD", None)
-    if fold:
-        env["TPUSR_D_FOLD"] = "1"
+    env.pop("TPUSR_G_FOLD", None)
+    env.update(extra_env)
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--worker", "gan_train", "--iters", "0"],
@@ -33,8 +41,8 @@ def run(fold: bool) -> str:
 def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     for i in range(reps):
-        print(f"[{i}] default: {run(False)}", flush=True)
-        print(f"[{i}] folded:  {run(True)}", flush=True)
+        for name, env in VARIANTS.items():
+            print(f"[{i}] {name:8s}: {run(env)}", flush=True)
 
 
 if __name__ == "__main__":

@@ -128,12 +128,14 @@ def _train_step_core(
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]
 
-    # EXPERIMENTAL, default off (TPUSR_D_FOLD=1, or =interpret for CPU
-    # tests): run the discriminator through the folded zero-seam Pallas
-    # dataflow (models/srgan_folded.py) — same math, golden-tested; the
-    # routing decision is measurement-gated by a full-step A/B on hardware.
+    # EXPERIMENTAL, default off (TPUSR_D_FOLD=1 / TPUSR_G_FOLD=1, or
+    # =interpret for CPU tests): run the discriminator / generator through
+    # the folded zero-seam Pallas dataflows (models/srgan_folded.py) — same
+    # math, golden-tested; the routing decision is measurement-gated by a
+    # full-step A/B on hardware (tools/ab_d_fold.py).
     import os as _os
     _fold = _os.environ.get("TPUSR_D_FOLD", "0")
+    _gfold = _os.environ.get("TPUSR_G_FOLD", "0")
 
     def d_apply(p, st, x, train=True):
         if _fold != "0":
@@ -149,6 +151,19 @@ def _train_step_core(
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]
 
+    def g_apply_train(p, st, x):
+        if _gfold != "0":
+            from tpusr.models.srgan_folded import (
+                folded_g_supported, generator_apply_folded)
+            from tpusr.ops.pallas_conv import fused_conv_available
+            interp = _gfold == "interpret"
+            if (folded_g_supported(x.shape, config.factor)
+                    and (interp or fused_conv_available())):
+                return generator_apply_folded(
+                    p, st, x, config.factor, config.residual_blocks_count,
+                    train=True, dtype=config.dtype, interpret=interp)
+        return g_apply(p, st, x)
+
     # --- One generator forward, linearized (train_GAN.py:41 computes
     # `fake` ONCE per step and reuses it for both the D update and the G
     # loss; the single BN batch-stats update happens here). Running the
@@ -157,7 +172,7 @@ def _train_step_core(
     # stat-update expressions differ — and applies the BN momentum update
     # twice per step, diverging from the reference's stats trajectory. ---
     def g_fwd(pg):
-        return g_apply(pg, state.stats_G, lr_patches)
+        return g_apply_train(pg, state.stats_G, lr_patches)
 
     fake, g_vjp, stats_G = jax.vjp(g_fwd, state.params_G, has_aux=True)
 

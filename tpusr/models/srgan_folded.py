@@ -33,7 +33,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 
-from tpusr.models.layers import conv_apply, leaky_relu
+from tpusr.models.layers import conv_apply, leaky_relu, pixel_shuffle
 from tpusr.ops.batch_fold import (S2_TAPS, fold_grid, fold_rows,
                                   fold_stats_correct,
                                   fold_stats_correct_grid, pack_s2_weights,
@@ -58,14 +58,16 @@ def folded_d_supported(x_shape) -> bool:
 
 
 def _bn_act_mask(y, stats2c, n, cb, scale, bias, ra_mean, ra_var, train,
-                 mask, eps=1e-5, momentum=0.1):
+                 mask, act=lambda z: leaky_relu(z, 0.2), eps=1e-5,
+                 momentum=0.1):
     """BatchNorm (torch semantics, models/layers.py:293-367 conv_stats
-    branch) + LeakyReLU(0.2) + seam re-zero as one fused elementwise pass.
+    branch) + activation + seam re-zero as one fused elementwise pass.
 
     y is the BIAS-FREE conv output canvas; stats2c = seam-corrected
     [sum, sum²] over the n valid positions; cb = the conv bias, folded
     into the affine exactly (mean(y+cb) = sum/n + cb, var shift-invariant).
-    Returns (z, new_ra_mean, new_ra_var)."""
+    act: elementwise callable or None (the D uses LeakyReLU(0.2), the G's
+    res blocks PReLU / identity). Returns (z, new_ra_mean, new_ra_var)."""
     if train:
         m_raw = stats2c[0] / n
         var = jnp.maximum(stats2c[1] / n - jnp.square(m_raw), 0.0)
@@ -81,10 +83,128 @@ def _bn_act_mask(y, stats2c, n, cb, scale, bias, ra_mean, ra_var, train,
     es = inv * scale
     eb = bias - (use_mean - cb) * inv * scale
     z = y * es.astype(y.dtype) + eb.astype(y.dtype)
-    z = leaky_relu(z, 0.2)
+    if act is not None:
+        z = act(z)
     if mask is not None:
         z = z * mask.astype(z.dtype)
     return z, new_mean, new_var
+
+
+def folded_g_supported(x_shape, factor: int) -> bool:
+    """LR-patch shapes the folded generator covers: square, p%4==0 (the
+    (p+4)-cell grid must keep the canvas sublane-aligned), even batch, a
+    power-of-two factor, and a wide-enough first canvas — the fused convs
+    need W >= 64 and W%8 (the reference workload, B=8 p=24, gives 112)."""
+    if len(x_shape) != 4:
+        return False
+    b, h, w, c = x_shape
+    if not (c == 3 and h == w and h % 4 == 0 and b % 2 == 0 and b >= 4
+            and factor in (2, 4, 8, 16)):
+        return False
+    w0 = (b // 2) * (h + 4)
+    return w0 >= 64 and w0 % 8 == 0 and (2 * (h + 4)) % 8 == 0
+
+
+def _prelu(alpha):
+    def act(z):
+        a = alpha.astype(z.dtype)
+        return jnp.where(z >= 0, z, a * z)
+    return act
+
+
+def generator_apply_folded(params, batch_stats, x, factor: int,
+                           n_blocks: int, train: bool = True,
+                           dtype: Any = None, interpret: bool = False):
+    """Drop-in for ``Generator.apply`` on (B, p, p, 3) LR training patches.
+
+    The whole G runs as ONE zero-seam 2xN grid canvas: conv1 (9x9, seam-4
+    cells) -> 16 residual blocks through the fused Pallas convs with
+    BN-stats epilogues -> long skip -> shuffle blocks (pixel_shuffle keeps
+    a folded canvas folded: cells/seams/valid all double) with a minimal
+    refold after each non-final shuffle to shed seam growth -> 9x9 head
+    via the thin-Cout GEMM on the canvas. PReLU fixes 0, so seams stay
+    zero through activations; each BN re-zeros them in its fused
+    elementwise pass. Returns (sr (B,P,P,3) f32, new_batch_stats)."""
+    b, p, _, _ = x.shape
+    assert folded_g_supported(x.shape, factor), (x.shape, factor)
+    n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[factor]
+    gh, gw = 2, b // 2
+    if dtype is not None:
+        x = x.astype(dtype)
+    cdtype = x.dtype
+    new_stats = {}
+
+    def conv_w(tree, name):
+        pr = tree[name]
+        return pr["kernel"].astype(cdtype), pr["bias"]
+
+    def bn_step(y, st2, v, kb, bn_name, tree, stats_tree, act, mask):
+        bn = tree[bn_name]
+        ra = stats_tree[bn_name]
+        z, nm, nv = _bn_act_mask(y, st2, b * v * v, kb, bn["scale"],
+                                 bn["bias"], ra["mean"], ra["var"], train,
+                                 mask, act=act)
+        return z, {"mean": nm, "var": nv}
+
+    # ---- fold + conv1 (9x9; seam 4 covers its halo) ----
+    v, cells = p, p + 4
+    z = fold_grid(x, gh, gw, 4, 4)
+    kw, kb = conv_w(params, "conv1")
+    z = conv_apply(z, kw, 1, "zero") + kb.astype(cdtype)
+    z = _prelu(params["prelu1"]["alpha"])(z)
+    mask = seam_mask_grid(gh, gw, cells, cells, v, v).astype(cdtype)
+    x0 = z * mask
+
+    # ---- residual blocks (fused convs + epilogue stats) ----
+    z = x0
+    for i in range(n_blocks):
+        rp = params[f"res{i}"]
+        rs = batch_stats[f"res{i}"]
+        ns = {}
+        kw, kb = conv_w(rp, "conv1")
+        y, st2 = fused_conv3x3(z, kw, pad_mode="zero", stats=True,
+                               interpret=interpret)
+        st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
+        h, ns["bn1"] = bn_step(y, st2, v, kb, "bn1", rp, rs,
+                               _prelu(rp["prelu1"]["alpha"]), mask)
+        kw, kb = conv_w(rp, "conv2")
+        y, st2 = fused_conv3x3(h, kw, pad_mode="zero", stats=True,
+                               interpret=interpret)
+        st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
+        h, ns["bn2"] = bn_step(y, st2, v, kb, "bn2", rp, rs, None, mask)
+        z = z + h
+        new_stats[f"res{i}"] = ns
+
+    # ---- conv2 + bn1 + long skip (generator.py:70-74) ----
+    kw, kb = conv_w(params, "conv2")
+    y, st2 = fused_conv3x3(z, kw, pad_mode="zero", stats=True,
+                           interpret=interpret)
+    st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
+    z, new_stats["bn1"] = bn_step(y, st2, v, kb, "bn1", params, batch_stats,
+                                  None, mask)
+    z = x0 + z
+
+    # ---- shuffle blocks; refold after each non-final shuffle ----
+    for i in range(n_shuffles):
+        sp = params[f"ps{i}"]
+        kw, kb = conv_w(sp, "conv1")
+        y = fused_conv3x3(z, kw, pad_mode="zero", stats=False,
+                          interpret=interpret)
+        y = (y + kb.astype(cdtype)) * mask
+        y = pixel_shuffle(y, 2)
+        z = _prelu(sp["prelu1"]["alpha"])(y)
+        v, cells = 2 * v, 2 * cells
+        if i < n_shuffles - 1:
+            z = unfold_grid(z, gh, gw, v, v)
+            z = fold_grid(z, gh, gw, 4, 4)
+            cells = v + 4
+        mask = seam_mask_grid(gh, gw, cells, cells, v, v).astype(cdtype)
+
+    # ---- 9x9 head via the thin-Cout canvas GEMM + unfold + tanh ----
+    kw, kb = conv_w(params, "conv3")
+    z = conv_apply(z, kw, 1, "zero") + kb.astype(cdtype)
+    z = unfold_grid(z, gh, gw, v, v)
+    return jnp.tanh(z.astype(jnp.float32)), new_stats
 
 
 def discriminator_apply_folded(params, batch_stats, x, train: bool = True,
