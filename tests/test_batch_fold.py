@@ -355,3 +355,106 @@ def test_tap_subset_matches_full_kernel():
         np.testing.assert_allclose(np.asarray(g_sub[1][t // 3, t % 3]),
                                    np.asarray(g_full[1][t // 3, t % 3]),
                                    rtol=1e-5, atol=1e-5)
+
+
+# --------------------------------------- in-kernel seam masking (v2 chain)
+def _bn_affine(y, s, ss, n, cb):
+    m_raw = s / n
+    var = jnp.maximum(ss / n - jnp.square(m_raw), 0.0)
+    inv = jax.lax.rsqrt(var + 1e-5)
+    return inv, -(m_raw) * inv  # scale=1, bias=0 BN for test simplicity
+
+
+@pytest.mark.parametrize("cin", [4, 64])
+def test_seam_masked_prologue_chain_rows(cin):
+    """Two chained folded convs: conv1 emits seam-exact stats in-kernel;
+    conv2 carries BN-affine + LeakyReLU as its prologue with in-kernel seam
+    masking (NO elementwise pass between them). Must equal the plain
+    batched pipeline, fwd + grads. cin=64 also exercises the small-C
+    affine-prologue path (identity-padded lanes)."""
+    from tpusr.ops.batch_fold import fold_rows, unfold_rows
+    from tpusr.ops.pallas_conv import fused_conv3x3
+
+    b, h, w_, co = 4, 16, 64, 64
+    x = _rand((b, h, w_, cin))
+    k1 = _rand((3, 3, cin, co), seed=1) * 0.1
+    cb1 = _rand((co,), seed=2) * 0.1  # conv1 bias (pending through BN)
+    k2 = _rand((3, 3, co, co), seed=3) * 0.1
+    cot = _rand((b, h, w_, co), seed=4)
+    n = b * h * w_
+
+    def plain(x, k1, k2):
+        y1 = conv_apply(x, k1, 1, "zero") + cb1
+        s = jnp.sum(y1, (0, 1, 2))
+        ss = jnp.sum(y1 * y1, (0, 1, 2))
+        es, eb = _bn_affine(y1, s, ss, n, cb1)
+        a = y1 * es + eb
+        a = jnp.where(a >= 0, a, 0.2 * a)
+        return conv_apply(a, k2, 1, "zero")
+
+    def folded(x, k1, k2):
+        xf = fold_rows(x, 2)
+        blk = h + 2
+        y1, st = fused_conv3x3(xf, k1, pad_mode="zero", stats=True,
+                               interpret=True, seam=(blk, h, w_, w_))
+        # pending-bias BN: stats are of the bias-free y1
+        s, ss = st[0] + n * cb1, None
+        ssf = st[1] + 2 * cb1 * st[0] + n * cb1 * cb1
+        es, eb = _bn_affine(None, s, ssf, n, cb1)
+        eb = eb + cb1 * es  # fold the pending conv bias into the affine
+        y2 = fused_conv3x3(y1, k2, es, eb, act="leaky_relu",
+                           pad_mode="zero", interpret=True,
+                           seam=(blk, h, w_, w_))
+        return unfold_rows(y2, b, h)
+
+    yw = plain(x, k1, k2)
+    yf = folded(x, k1, k2)
+    np.testing.assert_allclose(np.asarray(yf), np.asarray(yw),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss(f):
+        return lambda *a: jnp.sum(f(*a) * cot)
+
+    gw = jax.grad(loss(plain), argnums=(0, 1, 2))(x, k1, k2)
+    gf = jax.grad(loss(folded), argnums=(0, 1, 2))(x, k1, k2)
+    for a, b_ in zip(gf, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_seam_masked_grid_s2_packed():
+    """Grid-fold + s2-packed conv with in-kernel seam masking and seam-
+    exact stats (the folded-D v2 building block): fwd + stats + grads vs
+    the plain batched stride-2 conv."""
+    from tpusr.ops.batch_fold import (S2_TAPS, fold_grid, pack_s2_weights,
+                                      space_to_depth2, unfold_grid)
+    from tpusr.ops.pallas_conv import fused_conv3x3
+
+    b, h, ci, co = 8, 24, 32, 48
+    x = _rand((b, h, h, ci))
+    kern = _rand((3, 3, ci, co), seed=1) * 0.1
+    cot = _rand((b, h // 2, h // 2, co), seed=2)
+
+    def plain(x, k):
+        y = conv_apply(x, k, 2, "zero")
+        s = jnp.sum(y, (0, 1, 2))
+        ss = jnp.sum(y * y, (0, 1, 2))
+        return jnp.sum(y * cot) + 0.01 * jnp.sum(s) + 0.001 * jnp.sum(ss)
+
+    def folded(x, k):
+        xg = fold_grid(x, 2, 4, 8, 8)           # cells 32, valid 24
+        xp = space_to_depth2(xg)                # packed cells 16, valid 12
+        y, st = fused_conv3x3(xp, pack_s2_weights(k), pad_mode="zero",
+                              stats=True, taps=S2_TAPS, interpret=True,
+                              seam=(16, 12, 16, 12))
+        yv = unfold_grid(y, 2, 4, h // 2, h // 2)
+        return (jnp.sum(yv * cot) + 0.01 * jnp.sum(st[0])
+                + 0.001 * jnp.sum(st[1]))
+
+    np.testing.assert_allclose(float(folded(x, kern)), float(plain(x, kern)),
+                               rtol=1e-5)
+    gw = jax.grad(plain, argnums=(0, 1))(x, kern)
+    gf = jax.grad(folded, argnums=(0, 1))(x, kern)
+    for a, b_ in zip(gf, gw):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=1e-4, atol=1e-4)

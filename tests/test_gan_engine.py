@@ -96,6 +96,7 @@ def test_adv_weight_scales_adversarial_term():
 
 
 @pytest.mark.parametrize("gates", [("TPUSR_D_FOLD",),
+                                   ("TPUSR_D_FOLD=2i",),
                                    ("TPUSR_G_FOLD",),
                                    ("TPUSR_D_FOLD", "TPUSR_G_FOLD")])
 def test_folded_step_matches_default(monkeypatch, gates):
@@ -129,7 +130,8 @@ def test_folded_step_matches_default(monkeypatch, gates):
                                              lambda a, b: jnp.mean(
                                                  jnp.square(a - b)))
     for gate in gates:
-        monkeypatch.setenv(gate, "interpret")
+        name, _, val = gate.partition("=")
+        monkeypatch.setenv(name, val or "interpret")
     got_state, got_logs = _train_step_core(state, lr_b, hr_b, cfg, tx,
                                            lambda a, b: jnp.mean(
                                                jnp.square(a - b)))

@@ -195,3 +195,53 @@ def test_folded_g_grads_match_flax(g_setup):
             continue
         rel = np.linalg.norm(a - b_) / nb
         assert rel < 0.02, (jax.tree_util.keystr(path), rel)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_folded_v2_matches_flax(d_setup, train):
+    from tpusr.models.srgan_folded import discriminator_apply_folded_v2
+
+    d, p, st, x = d_setup
+    want, want_st = _flax_apply(d, p, st, x, train)
+    got, got_st = discriminator_apply_folded_v2(p, st, x, train=train,
+                                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    for k in want_st:
+        for f in ("mean", "var"):
+            np.testing.assert_allclose(np.asarray(got_st[k][f]),
+                                       np.asarray(want_st[k][f]),
+                                       rtol=1e-4, atol=1e-5, err_msg=(k, f))
+
+
+def test_folded_v2_grads_match_v1(d_setup):
+    """v1 and v2 are the same math executed with different fusion
+    boundaries — their grads must agree tightly (both folded, same float
+    paths up to in-kernel masking order)."""
+    from tpusr.models.srgan_folded import (discriminator_apply_folded,
+                                           discriminator_apply_folded_v2)
+
+    _, p, st, x = d_setup
+    cot = jnp.asarray(np.random.default_rng(9).normal(size=(B, 1)),
+                      jnp.float32)
+
+    def loss(fn):
+        def inner(p_, x_):
+            out, _ = fn(p_, st, x_, True, None, True)
+            return jnp.sum(out * cot)
+        return inner
+
+    g1 = jax.grad(loss(discriminator_apply_folded), argnums=(0, 1))(p, x)
+    g2 = jax.grad(loss(discriminator_apply_folded_v2), argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               rtol=5e-3, atol=5e-4)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1[0]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g2[0]):
+        a = np.asarray(leaf, np.float64)
+        b_ = np.asarray(flat1[path], np.float64)
+        nb = np.linalg.norm(b_)
+        if nb < 1e-8:
+            assert np.linalg.norm(a) < 1e-6, jax.tree_util.keystr(path)
+            continue
+        rel = np.linalg.norm(a - b_) / nb
+        assert rel < 5e-3, (jax.tree_util.keystr(path), rel)

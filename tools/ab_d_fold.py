@@ -19,8 +19,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 VARIANTS = {
     "default": {},
     "dfold": {"TPUSR_D_FOLD": "1"},
+    "dfold2": {"TPUSR_D_FOLD": "2"},   # v2: in-kernel seam masks/prologues
     "gfold": {"TPUSR_G_FOLD": "1"},
-    "both": {"TPUSR_D_FOLD": "1", "TPUSR_G_FOLD": "1"},
+    "both": {"TPUSR_D_FOLD": "2", "TPUSR_G_FOLD": "1"},
 }
 
 

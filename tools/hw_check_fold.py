@@ -88,32 +88,92 @@ def main():
             print(f"{label}: bwd FAILED {type(e).__name__}: "
                   f"{str(e)[:200]}", flush=True)
 
-    # the full folded D fwd+bwd at the reference workload
+    # the seam-masked prologue kernel (v2 building block): in-kernel iota
+    # row/col masks + affine+act prologue + seam-exact stats, at the b1
+    # geometry (incl. modulo-on-iota lowering — new on hardware)
     try:
-        from tpusr.engine import losses as L
-        from tpusr.models.srgan import Discriminator
-        from tpusr.models.srgan_folded import discriminator_apply_folded
+        xs = (1, 784, 96, 64)
+        x = jnp.asarray(rng.normal(size=xs), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, 64, 128)) * 0.05,
+                        jnp.bfloat16)
+        es = jnp.asarray(rng.uniform(0.5, 1.5, (64,)), jnp.float32)
+        eb = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
 
-        d = Discriminator(dtype="bfloat16")
-        x = jnp.asarray(rng.uniform(-1, 1, (8, 192, 192, 3)), jnp.float32)
-        v = d.init(jax.random.PRNGKey(1), jnp.zeros((1, 192, 192, 3)))
-        p, st = v["params"], v["batch_stats"]
+        def f2(x, w, es, eb):
+            y, st = fused_conv3x3(x, w, es, eb, act="leaky_relu",
+                                  pad_mode="zero", stats=True,
+                                  seam=(98, 96, 96, 96))
+            return (jnp.sum(jnp.square(y.astype(jnp.float32)))
+                    + 0.01 * jnp.sum(st))
 
-        def dloss(p_):
-            out, _ = discriminator_apply_folded(p_, st, x, True,
-                                                dtype="bfloat16")
+        v = float(jax.jit(f2)(x, w, es, eb))
+        want = float(jax.jit(lambda *a: (
+            lambda y, st: jnp.sum(jnp.square(y.astype(jnp.float32)))
+            + 0.01 * jnp.sum(st))(*_fused_ref(
+                a[0], a[1], a[2], a[3], affine=True, act="leaky_relu",
+                reflect=False, stats=True, seam=(98, 96, 96, 96))))(
+                    x, w, es, eb))
+        rel = abs(v - want) / (abs(want) + 1e-9)
+        assert rel < 2e-2, (v, want)
+        g = jax.jit(jax.grad(f2, argnums=(0, 1, 2, 3)))(x, w, es, eb)
+        sync(g[1])
+        print(f"seam+prologue kernel: OK (rel {rel:.1e})", flush=True)
+    except Exception as e:
+        print(f"seam+prologue kernel: FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+    # the full folded D fwd+bwd at the reference workload, v1 and v2
+    from tpusr.models.srgan import Discriminator
+    from tpusr.models.srgan_folded import (discriminator_apply_folded,
+                                           discriminator_apply_folded_v2)
+
+    d = Discriminator(dtype="bfloat16")
+    x = jnp.asarray(rng.uniform(-1, 1, (8, 192, 192, 3)), jnp.float32)
+    v = d.init(jax.random.PRNGKey(1), jnp.zeros((1, 192, 192, 3)))
+    p, st = v["params"], v["batch_stats"]
+    ref, _ = d.apply({"params": p, "batch_stats": st}, x, True,
+                     mutable=["batch_stats"])
+    refv = float(jnp.sum(jnp.square(ref)))
+    for name, fn in (("v1", discriminator_apply_folded),
+                     ("v2", discriminator_apply_folded_v2)):
+        try:
+            def dloss(p_, fn=fn):
+                out, _ = fn(p_, st, x, True, dtype="bfloat16")
+                return jnp.sum(jnp.square(out))
+
+            val = float(jax.jit(dloss)(p))
+            g = jax.jit(jax.grad(dloss))(p)
+            sync(jax.tree_util.tree_leaves(g)[0])
+            print(f"folded D {name}: OK loss {val:.4f} vs flax {refv:.4f}",
+                  flush=True)
+        except Exception:
+            print(f"folded D {name}: FAILED", flush=True)
+            traceback.print_exc()
+
+    # the full folded G fwd+bwd at the reference workload
+    try:
+        from tpusr.models.srgan import Generator
+        from tpusr.models.srgan_folded import generator_apply_folded
+
+        gm = Generator(dtype="bfloat16")
+        lr = jnp.asarray(rng.uniform(0, 1, (8, 24, 24, 3)), jnp.float32)
+        vg = gm.init(jax.random.PRNGKey(2), jnp.zeros((1, 24, 24, 3)))
+        pg, stg = vg["params"], vg["batch_stats"]
+
+        def gloss(p_):
+            out, _ = generator_apply_folded(p_, stg, lr, 8, 16, train=True,
+                                            dtype="bfloat16")
             return jnp.sum(jnp.square(out))
 
-        val = float(jax.jit(dloss)(p))
-        g = jax.jit(jax.grad(dloss))(p)
-        sync(jax.tree_util.tree_leaves(g)[0])
-        ref, _ = d.apply({"params": p, "batch_stats": st}, x, True,
-                         mutable=["batch_stats"])
-        refv = float(jnp.sum(jnp.square(ref)))
-        print(f"folded D full: OK loss {val:.4f} vs flax {refv:.4f}",
-              flush=True)
+        val = float(jax.jit(gloss)(pg))
+        gr = jax.jit(jax.grad(gloss))(pg)
+        sync(jax.tree_util.tree_leaves(gr)[0])
+        refg, _ = gm.apply({"params": pg, "batch_stats": stg}, lr, True,
+                           mutable=["batch_stats"])
+        refgv = float(jnp.sum(jnp.square(refg)))
+        print(f"folded G: OK loss {val:.4f} vs flax {refgv:.4f}", flush=True)
     except Exception:
-        print("folded D full: FAILED", flush=True)
+        print("folded G: FAILED", flush=True)
         traceback.print_exc()
 
 

@@ -140,13 +140,17 @@ def _train_step_core(
     def d_apply(p, st, x, train=True):
         if _fold != "0":
             from tpusr.models.srgan_folded import (
-                discriminator_apply_folded, folded_d_supported)
+                discriminator_apply_folded, discriminator_apply_folded_v2,
+                folded_d_supported)
             from tpusr.ops.pallas_conv import fused_conv_available
-            interp = _fold == "interpret"
+            interp = _fold in ("interpret", "2i")
+            v2 = _fold in ("2", "2i")
             if folded_d_supported(x.shape) and (interp
                                                 or fused_conv_available()):
-                return discriminator_apply_folded(
-                    p, st, x, train, dtype=config.dtype, interpret=interp)
+                fn = (discriminator_apply_folded_v2 if v2
+                      else discriminator_apply_folded)
+                return fn(p, st, x, train, dtype=config.dtype,
+                          interpret=interp)
         out, upd = d.apply({"params": p, "batch_stats": st}, x, train,
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]

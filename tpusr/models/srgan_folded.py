@@ -90,6 +90,119 @@ def _bn_act_mask(y, stats2c, n, cb, scale, bias, ra_mean, ra_var, train,
     return z, new_mean, new_var
 
 
+def _bn_affine_from_stats(stats2c, n, cb, scale, bias, ra_mean, ra_var,
+                          train, eps=1e-5, momentum=0.1):
+    """BatchNorm affine (torch semantics) from seam-exact conv-epilogue
+    stats of the BIAS-FREE output, with the conv bias cb folded in.
+    Returns (eff_scale, eff_bias, new_ra_mean, new_ra_var) — the affine is
+    meant for the NEXT conv's in-kernel prologue (v2 dataflow)."""
+    if train:
+        m_raw = stats2c[0] / n
+        var = jnp.maximum(stats2c[1] / n - jnp.square(m_raw), 0.0)
+        mean = m_raw + cb
+        unbiased = var * (n / max(n - 1, 1))
+        new_mean = (1 - momentum) * ra_mean + momentum * mean
+        new_var = (1 - momentum) * ra_var + momentum * unbiased
+        use_mean, use_var = mean, var
+    else:
+        new_mean, new_var = ra_mean, ra_var
+        use_mean, use_var = ra_mean, ra_var
+    inv = jax.lax.rsqrt(use_var + eps)
+    es = inv * scale
+    eb = bias - (use_mean - cb) * inv * scale
+    return es, eb, new_mean, new_var
+
+
+def discriminator_apply_folded_v2(params, batch_stats, x, train: bool = True,
+                                  dtype: Any = None,
+                                  interpret: bool = False):
+    """The v2 folded D: like discriminator_apply_folded, but with ZERO
+    inter-layer elementwise passes — each conv kernel applies the previous
+    BN's affine + LeakyReLU as its prologue and masks the canvas seams
+    in-kernel (iota row/col masks), and its stats epilogue is seam-exact,
+    so BatchNorm never touches the tensor at all. The stem's bias+LeakyReLU
+    ride b0's prologue the same way (es=1, eb=stem bias).
+
+    Canvas values BETWEEN convs are raw bias-free conv outputs (garbage on
+    seams — masked at the consumer); refolds slice only valid regions, so
+    they chain exactly. Gated via TPUSR_D_FOLD=2 (=2i interpret)."""
+    b, hr, _, _ = x.shape
+    assert folded_d_supported(x.shape), x.shape
+    gh, gw = 2, b // 2
+    if dtype is not None:
+        x = x.astype(dtype)
+    cdtype = x.dtype
+
+    def conv_w(name):
+        p = params[name]
+        return p["kernel"].astype(cdtype), p["bias"]
+
+    new_stats = {}
+
+    # ---- stage A: row fold; stem conv stays XLA (thin Cin), bias/act
+    # deferred into b0's prologue ----
+    blk = hr + 4
+    xf = fold_rows(x, 4)
+    kw, kb = conv_w("conv")
+    z = conv_apply(xf, kw, 1, "zero")          # RAW: no bias, no act
+    es = jnp.ones((64,), jnp.float32)
+    eb = kb.astype(jnp.float32)
+
+    stage, vh, vw = "rows", hr, hr
+
+    for i, (ch, st) in enumerate(_SCHEDULE):
+        if st == 2 and i > 0:
+            if stage == "rows":
+                z = unfold_rows(z, b, vh)
+            else:
+                z = unfold_grid(z, gh, gw, vh, vw)
+            z = fold_grid(z, gh, gw, 8, 8)
+            stage, vw = "grid", vh
+            blk = vh + 8
+
+        kw, kb = conv_w(f"block{i}_conv")
+        if stage == "rows":
+            bw_s, vw_s = z.shape[2], z.shape[2]  # no column seams
+        else:
+            bw_s, vw_s = blk, vw
+        if st == 2:
+            xin = space_to_depth2(z)
+            spec = (blk // 2, vh // 2, bw_s // 2 if stage == "grid"
+                    else xin.shape[2], vw_s // 2 if stage == "grid"
+                    else xin.shape[2])
+            y, st2 = fused_conv3x3(
+                xin, pack_s2_weights(kw), jnp.tile(es, 4), jnp.tile(eb, 4),
+                act="leaky_relu", pad_mode="zero", stats=True, taps=S2_TAPS,
+                interpret=interpret, seam=spec)
+            vh, vw, blk = vh // 2, vw // 2, blk // 2
+        else:
+            spec = (blk, vh, bw_s, vw_s)
+            y, st2 = fused_conv3x3(z, kw, es, eb, act="leaky_relu",
+                                   pad_mode="zero", stats=True,
+                                   interpret=interpret, seam=spec)
+
+        bn = params[f"block{i}_bn"]
+        ra = batch_stats[f"block{i}_bn"]
+        es, eb, nm, nv = _bn_affine_from_stats(
+            st2, b * vh * vw, kb, bn["scale"], bn["bias"], ra["mean"],
+            ra["var"], train)
+        new_stats[f"block{i}_bn"] = {"mean": nm, "var": nv}
+        z = y
+
+    # last BN + act explicitly (no next conv to carry them)
+    z = z * es.astype(cdtype) + eb.astype(cdtype)
+    z = leaky_relu(z, 0.2)
+    z = unfold_grid(z, gh, gw, vh, vw)
+
+    z = z.reshape(b, -1)
+    d1 = params["dense1"]["Dense_0"]
+    z = z @ d1["kernel"].astype(cdtype) + d1["bias"].astype(cdtype)
+    z = leaky_relu(z, 0.2)
+    d2 = params["dense2"]["Dense_0"]
+    logits = z @ d2["kernel"].astype(cdtype) + d2["bias"].astype(cdtype)
+    return logits.astype(jnp.float32), new_stats
+
+
 def folded_g_supported(x_shape, factor: int) -> bool:
     """LR-patch shapes the folded generator covers: square, p%4==0 (the
     (p+4)-cell grid must keep the canvas sublane-aligned), even batch, a

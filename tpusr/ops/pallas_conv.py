@@ -66,7 +66,7 @@ def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int,
 
 def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
                 TH, H, W, Cin, RC, reflect, affine, act, stats, C0=None,
-                has_base=False, taps=_ALL_TAPS):
+                has_base=False, taps=_ALL_TAPS, seam=None):
     if has_base:
         # base: an already-computed (1,H,W,Cout) partial sum (e.g. the thin
         # skip part of a SplitConv) added in-VMEM so the stats epilogue
@@ -119,7 +119,7 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
                 win[TH + 1] = win[TH - 1]
 
     # --- prologue: previous block's BN-affine + activation (in place) ---
-    if affine or act:
+    if affine or act or seam is not None:
         a0 = win[:]
         if affine:
             a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
@@ -128,6 +128,30 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
             # this target; maximum/minimum do, and the math is identical.
             zero = jnp.zeros((), a0.dtype)
             a0 = jnp.maximum(a0, zero) + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero)
+        if seam is not None:
+            # Zero-seam canvas masking IN-KERNEL (the folded dataflows,
+            # ops/batch_fold.py): canvas rows/cols beyond each cell's valid
+            # region carry garbage (cross-image mixes from the previous
+            # folded conv) and must read as zero — post-prologue, because
+            # affine(garbage) is still garbage and affine(0)=eff_bias must
+            # not leak either. Masking here replaces a whole-canvas
+            # elementwise HBM pass per layer. Row indices are global canvas
+            # rows (this window starts at i*TH-1, clamped at the edges).
+            bh, vh, bw, vw = seam
+            # win row r holds canvas row i*TH - 1 + r at every grid
+            # position (at i==0 the copy shifts by one and row 0 is the
+            # halo: canvas row -1 -> (-1 % bh) = bh-1 >= vh -> masked,
+            # which matches its zero-halo value; halo rows are re-zeroed
+            # after the prologue regardless)
+            row_idx = (jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0)
+                       + i * TH - 1)
+            col_idx = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
+            if C0 is not None:
+                col_idx = col_idx + C0
+            ok = (row_idx % bh) < vh
+            if vw < bw:
+                ok = jnp.logical_and(ok, (col_idx % bw) < vw)
+            a0 = a0 * ok[:, :, None].astype(a0.dtype)
         win[:] = a0
 
     if not reflect:
@@ -188,12 +212,32 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
     y = acc[None]
     y_ref[:] = y.astype(y_ref.dtype)
     if stats:
-        stat_ref[0, 0] = jnp.sum(y, axis=(0, 1, 2))
-        stat_ref[0, 1] = jnp.sum(jnp.square(y), axis=(0, 1, 2))
+        if seam is not None:
+            # seam-exact statistics: output rows/cols beyond each cell's
+            # valid region mix neighboring images — exclude them here so
+            # the BatchNorm consumes valid-only sums directly (replaces
+            # the fold_stats_correct partial pass outside). The output
+            # block covers canvas rows [i*TH, i*TH+TH); out geometry ==
+            # the kernel-visible input canvas geometry (stride 1).
+            bh, vh, bw, vw = seam
+            orow = (jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
+                    + i * TH)
+            ook = (orow % bh) < vh
+            if vw < bw:
+                ocol = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+                if C0 is not None:
+                    ocol = ocol + C0
+                ook = jnp.logical_and(ook, (ocol % bw) < vw)
+            m = ook[None, :, :, None].astype(jnp.float32)
+            stat_ref[0, 0] = jnp.sum(y * m, axis=(0, 1, 2))
+            stat_ref[0, 1] = jnp.sum(jnp.square(y) * m, axis=(0, 1, 2))
+        else:
+            stat_ref[0, 0] = jnp.sum(y, axis=(0, 1, 2))
+            stat_ref[0, 1] = jnp.sum(jnp.square(y), axis=(0, 1, 2))
 
 
 def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                     taps=_ALL_TAPS):
+                     taps=_ALL_TAPS, seam=None):
     """W > 1024: column overlap-discard onto the fast 1-D banded kernel.
 
     Supersedes _fwd_pallas_2d on the auto route (round 2 measured the 2-D
@@ -219,14 +263,14 @@ def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         y, _ = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                            reflect=reflect, stats=False,
                            interpret=interpret, col_win=(il, ir - il),
-                           taps=taps)
+                           taps=taps, seam=seam)
         outs.append(y[:, :, o0 - il : o1 - il])
         o0 = o1
     return jnp.concatenate(outs, axis=2), None
 
 
 def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                col_win=None, base=None, taps=_ALL_TAPS):
+                col_win=None, base=None, taps=_ALL_TAPS, seam=None):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
     RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
@@ -237,10 +281,11 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         if stats or base is not None:  # column windows don't stitch these
             xl = x if RC == Cin else x[..., :RC]
             return _fused_ref(xl, w, es, eb, affine=affine, act=act,
-                              reflect=reflect, stats=stats, base=base)
+                              reflect=reflect, stats=stats, base=base,
+                              seam=seam)
         return _fwd_pallas_cols(x, w, es, eb, affine=affine, act=act,
                                 reflect=reflect, stats=stats,
-                                interpret=interpret, taps=taps)
+                                interpret=interpret, taps=taps, seam=seam)
     TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize,
                       has_base=base is not None)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
@@ -248,12 +293,13 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         if C0 is not None:
             xl = xl[:, :, C0 : C0 + W]
         return _fused_ref(xl, w, es, eb, affine=affine, act=act,
-                          reflect=reflect, stats=stats, base=base)
+                          reflect=reflect, stats=stats, base=base,
+                          seam=seam)
     n = H // TH
     kern = functools.partial(
         _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin, RC=RC,
         reflect=reflect, affine=affine, act=act, stats=stats, C0=C0,
-        has_base=base is not None, taps=taps)
+        has_base=base is not None, taps=taps, seam=seam)
     out_shapes = [jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
                   jax.ShapeDtypeStruct((n, 2, Cout), jnp.float32)]
     out_specs = [
@@ -295,7 +341,8 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
 
 # ------------------------------------------------------------ wgrad kernel
 def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
-                  TH, H, W, Cin, reflect, affine, act, taps=_ALL_TAPS):
+                  TH, H, W, Cin, reflect, affine, act, taps=_ALL_TAPS,
+                  seam=None):
     """dw[t] += patch_t(act(affine(x)))^T @ G per row tile.
 
     Same halo/prologue structure as _fwd_kernel (the wgrad's input padding
@@ -334,7 +381,7 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
             if reflect:
                 win[TH + 1] = win[TH - 1]
 
-    if affine or act:
+    if affine or act or seam is not None:
         a0 = win[:]
         if affine:
             a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
@@ -342,6 +389,17 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
             zero = jnp.zeros((), a0.dtype)
             a0 = (jnp.maximum(a0, zero)
                   + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero))
+        if seam is not None:
+            # same in-kernel canvas masking as the forward (the wgrad's
+            # prologue recompute must see the identical masked input)
+            bh, vh, bw, vw = seam
+            row_idx = (jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0)
+                       + i * TH - 1)
+            ok = (row_idx % bh) < vh
+            if vw < bw:
+                col_idx = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
+                ok = jnp.logical_and(ok, (col_idx % bw) < vw)
+            a0 = a0 * ok[:, :, None].astype(a0.dtype)
         win[:] = a0
 
     if not reflect:
@@ -410,7 +468,7 @@ def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int,
 
 
 def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
-                  taps=_ALL_TAPS):
+                  taps=_ALL_TAPS, seam=None):
     """(3, 3, Cin, Cout) f32 kernel cotangent via the wgrad kernel.
 
     With a tap subset, only the live taps are computed; the rest come back
@@ -425,7 +483,7 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
     n = H // TH
     kern = functools.partial(
         _wgrad_kernel, TH=TH, H=H, W=W, Cin=Cin,
-        reflect=reflect, affine=affine, act=act, taps=taps)
+        reflect=reflect, affine=affine, act=act, taps=taps, seam=seam)
     dwT = pl.pallas_call(
         kern,
         grid=(n,),
@@ -454,19 +512,31 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
 
 
 # ---------------------------------------------------------------- reference
-def _prologue_ref(x, es, eb, affine, act):
+def _seam_mask_hw(H, W, seam, dtype):
+    """(1,H,W,1) 0/1 canvas-validity mask for a (bh, vh, bw, vw) seam spec
+    (XLA level; the kernels compute the same mask from iotas in VMEM)."""
+    bh, vh, bw, vw = seam
+    r = jnp.arange(H) % bh < vh
+    c = jnp.arange(W) % bw < vw
+    return (r[:, None] & c[None, :])[None, :, :, None].astype(dtype)
+
+
+def _prologue_ref(x, es, eb, affine, act, seam=None):
     a = x
     if affine:
         a = a * es.astype(a.dtype) + eb.astype(a.dtype)
     if act == "leaky_relu":
         a = jnp.where(a >= 0, a, 0.2 * a)
+    if seam is not None:
+        a = a * _seam_mask_hw(a.shape[1], a.shape[2], seam, a.dtype)
     return a
 
 
-def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None):
+def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None,
+               seam=None):
     """Pure-XLA reference implementation (used for the custom-VJP backward
     and as the numerical oracle in tests)."""
-    a = _prologue_ref(x, es, eb, affine, act)
+    a = _prologue_ref(x, es, eb, affine, act, seam)
     mode = "reflect" if reflect else "constant"
     ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
     y = jax.lax.conv_general_dilated(
@@ -475,26 +545,31 @@ def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None):
     if base is not None:
         y = y + base.astype(y.dtype)
     if stats:
-        s = jnp.sum(y.astype(jnp.float32), axis=(0, 1, 2))
-        ss = jnp.sum(jnp.square(y.astype(jnp.float32)), axis=(0, 1, 2))
+        y32 = y.astype(jnp.float32)
+        ym = y32
+        if seam is not None:
+            ym = y32 * _seam_mask_hw(y.shape[1], y.shape[2], seam,
+                                     jnp.float32)
+        s = jnp.sum(ym, axis=(0, 1, 2))
+        ss = jnp.sum(ym * y32, axis=(0, 1, 2))  # (M·y)² == M·y² for 0/1 M
         return y, jnp.stack([s, ss])
     return y, None
 
 
 # ---------------------------------------------------------------- custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
 def _fused_conv(x, w, es, eb, base, affine, act, reflect, stats, interpret,
-                taps):
+                taps, seam):
     y, st = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                         reflect=reflect, stats=stats, interpret=interpret,
-                        base=base, taps=taps)
+                        base=base, taps=taps, seam=seam)
     return (y, st) if stats else y
 
 
 def _fused_conv_fwd(x, w, es, eb, base, affine, act, reflect, stats,
-                    interpret, taps):
+                    interpret, taps, seam):
     out = _fused_conv(x, w, es, eb, base, affine, act, reflect, stats,
-                      interpret, taps)
+                      interpret, taps, seam)
     y = out[0] if stats else out
     # y rides the residuals only for the stats cotangent (sum/sum² backprop
     # needs the primal output); it is already materialized in HBM. base
@@ -539,7 +614,8 @@ def _reflect_fold_corrections(dpa, G, wd):
     return dpa
 
 
-def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
+def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
+                    g):
     """Hand-built backward: exactly one dgrad conv + one wgrad conv + fused
     elementwise — no forward recompute. When shapes allow, BOTH convs run
     as Pallas kernels: dgrad IS the forward kernel with the rotated/
@@ -559,15 +635,23 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
         x = x[..., :w.shape[2]]
     if stats:
         gy, gst = g
-        # y-stats cotangent: d(sum)/dy = 1, d(sum²)/dy = 2y, both f32 in fwd
-        G = (gy.astype(jnp.float32) + gst[0] + 2.0 * y.astype(jnp.float32)
-             * gst[1]).astype(gy.dtype)
+        # y-stats cotangent: d(sum)/dy = 1, d(sum²)/dy = 2y, both f32 in
+        # fwd; with a seam spec the stats excluded the seam region, so its
+        # positions carry no stats cotangent
+        stat_term = gst[0] + 2.0 * y.astype(jnp.float32) * gst[1]
+        if seam is not None:
+            stat_term = stat_term * _seam_mask_hw(
+                y.shape[1], y.shape[2], seam, jnp.float32)
+        G = (gy.astype(jnp.float32) + stat_term).astype(gy.dtype)
     else:
         G = g
 
-    # prologue primal pieces (cheap elementwise; fused by XLA)
+    # prologue primal pieces (cheap elementwise; fused by XLA). es/eb may
+    # be lane-padded along with x — use the logical slice here.
+    es_l = es[:w.shape[2]] if (affine and pad_c) else es
+    eb_l = eb[:w.shape[2]] if (affine and pad_c) else eb
     if affine:
-        a0 = x * es.astype(x.dtype) + eb.astype(x.dtype)
+        a0 = x * es_l.astype(x.dtype) + eb_l.astype(x.dtype)
     else:
         a0 = x
     if act == "leaky_relu":
@@ -577,6 +661,13 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
     else:
         pa = a0
         aprime = None
+    if seam is not None:
+        # forward masked the post-prologue canvas in-kernel: the XLA-side
+        # primal/adjoint pieces must see the same mask
+        M = _seam_mask_hw(x.shape[1], x.shape[2], seam, x.dtype)
+        pa = pa * M
+    else:
+        M = None
 
     mode = "reflect" if reflect else "constant"
     dn = ("NHWC", "HWIO", "NHWC")
@@ -595,7 +686,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
                  and H % 8 == 0 and H >= 8
                  and xp.shape[-1] % 128 == 0
                  and (Co % 128 == 0 or pad_g)
-                 and not ((pad_c or pad_g) and (reflect or affine))
+                 and not ((pad_c or pad_g) and reflect)
                  and _pick_tile_h(H, W, Co, Ci, x.dtype.itemsize) > 0
                  and _pick_tile_h(H, W, Ci, Co, x.dtype.itemsize) > 0)
 
@@ -623,7 +714,8 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
         # with Cin*Cout — packed-channel convs can exceed the budget even
         # when the dgrad side fits); fall back per-operand, not per-conv.
         dwp = _wgrad_pallas(xp, Gp, es, eb, affine=affine, act=act,
-                            reflect=reflect, interpret=interpret, taps=taps)
+                            reflect=reflect, interpret=interpret, taps=taps,
+                            seam=seam)
         if dwp is not None:
             dw = dwp[:, :, :Ci, :Co].astype(wd.dtype)
     if dpa is None:
@@ -658,12 +750,19 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, res, g):
         dpre = dpa * aprime
     else:
         dpre = dpa
+    if M is not None:
+        # forward: y = conv(M·act(affine(x))) — the mask factors into every
+        # pre-mask cotangent (fuses into the same elementwise pass)
+        dpre = dpre * M
     if affine:
-        dx = dpre * es.astype(x.dtype)
+        dx = dpre * es_l.astype(x.dtype)
         red = (0, 1, 2)
         des = jnp.sum(dpre.astype(jnp.float32) * x.astype(jnp.float32),
                       axis=red)
         deb = jnp.sum(dpre.astype(jnp.float32), axis=red)
+        if pad_c:  # residual es/eb are lane-padded; mirror their shape
+            des = jnp.pad(des, (0, pad_c))
+            deb = jnp.pad(deb, (0, pad_c))
     else:
         dx = dpre
         des = jnp.zeros_like(es)
@@ -679,7 +778,7 @@ _fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
                   pad_mode="reflection", stats=False, interpret=False,
-                  base=None, taps=None):
+                  base=None, taps=None, seam=None):
     """y = conv3x3(act(x*eff_scale+eff_bias)) [+ base] with in-kernel halos.
 
     x: (1,H,W,Cin) bf16/f32; w: (3,3,RC,Cout) with RC <= Cin. Returns y or
@@ -692,6 +791,13 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     spends MXU passes on them (the space-to-depth stride-2 route keeps 4
     of 9). Correctness does not depend on the claim inside the reference
     path (full w is used there), but the Pallas path trusts it.
+    seam (optional, (block_h, valid_h, block_w, valid_w)): x is a zero-seam
+    fold canvas (ops/batch_fold.py); positions whose (row % block_h,
+    col % block_w) fall outside the valid region are masked to zero
+    IN-KERNEL post-prologue (they carry cross-image garbage from the
+    previous folded conv), and the stats epilogue excludes them — so the
+    folded dataflows need no per-layer elementwise masking pass and no
+    fold_stats_correct. Zero-pad only.
     Differentiable via custom VJP. Callers gate on `fused_conv_supported`.
 
     Small-C convention: Mosaic cannot DMA-slice lane-padded (<128 ch) HBM
@@ -703,14 +809,25 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     """
     affine = eff_scale is not None
     tap_t = _ALL_TAPS if taps is None else tuple(taps)
+    if seam is not None:
+        assert pad_mode == "zero", "seam masking is for zero-seam canvases"
+        seam = tuple(seam)
     Cin = x.shape[-1]
     Cout = w.shape[-1]
     RC = w.shape[2]
+
+    def _pad_affine(n):
+        # identity on the pad lanes: affine(0) = 0·1 + 0, act(0) = 0
+        nonlocal eff_scale, eff_bias
+        if affine and eff_scale.shape[0] == RC:
+            eff_scale = jnp.pad(eff_scale, (0, n), constant_values=1.0)
+            eff_bias = jnp.pad(eff_bias, (0, n))
+
     if RC < Cin:
-        assert not affine, "lane-padded operands take no affine prologue"
+        _pad_affine(Cin - RC)
     elif RC in (32, 64) and not interpret:
-        assert not affine, "small-C path takes no affine prologue"
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, 128 - RC)))
+        _pad_affine(128 - RC)
         Cin = 128
     if eff_scale is None:
         eff_scale = jnp.ones((Cin,), jnp.float32)
@@ -726,15 +843,16 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
         # only without a prologue (affine(0)=eff_bias would leak into the
         # halo) and without stats (they would count the pad rows).
         assert (pad_mode == "zero" and not affine and act is None
-                and not stats and base is None), \
+                and not stats and base is None and seam is None), \
             "H%8 row-padding requires a plain zero-pad conv"
         hp = (8 - H % 8)
         xp = jnp.pad(x, ((0, 0), (0, hp), (0, 0), (0, 0)))
         y = _fused_conv(xp, w, eff_scale, eff_bias, None, affine, act,
-                        False, False, interpret, tap_t)
+                        False, False, interpret, tap_t, None)
         return y[:, :H]
     return _fused_conv(x, w, eff_scale, eff_bias, base, affine, act,
-                       pad_mode == "reflection", stats, interpret, tap_t)
+                       pad_mode == "reflection", stats, interpret, tap_t,
+                       seam)
 
 
 def fused_conv_supported(x_shape, k: int, stride: int,
