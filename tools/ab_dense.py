@@ -35,16 +35,28 @@ def run(dtype_mode: str, steps: int = 50, reps: int = 3):
     opt = optax.adam(1e-4)
     opt_state = opt.init(params)
 
+    def head_one(pb, x):
+        h = x @ pb["w1"] + pb["b1"]
+        h = jnp.where(h > 0, h, 0.2 * h)
+        o = h @ pb["w2"] + pb["b2"]
+        return jnp.mean(o.astype(jnp.float32) ** 2)
+
     def head(p, x):
         if dtype_mode == "bf16":
-            h = x @ p["w1"].astype(jnp.bfloat16) + p["b1"].astype(jnp.bfloat16)
-            h = jnp.where(h > 0, h, 0.2 * h)
-            o = h @ p["w2"].astype(jnp.bfloat16) + p["b2"].astype(jnp.bfloat16)
-        else:  # f32 promotion (flax dtype=None behavior)
-            h = x.astype(jnp.float32) @ p["w1"] + p["b1"]
-            h = jnp.where(h > 0, h, 0.2 * h)
-            o = h @ p["w2"] + p["b2"]
-        return jnp.mean(o.astype(jnp.float32) ** 2)
+            pb = {k: v.astype(jnp.bfloat16) for k, v in p.items()}
+            return head_one(pb, x)
+        if dtype_mode == "f32":  # f32 promotion (flax dtype=None behavior)
+            return head_one(p, x.astype(jnp.float32))
+        # the real D applies its head THREE times per step (real batch,
+        # fake batch, fake-for-G): does XLA CSE the f32->bf16 master-weight
+        # cast across applies, or does hoisting it pay?
+        xs = [x, x * 0.5, x * 0.25]
+        if dtype_mode == "hoist_3":
+            pb = {k: v.astype(jnp.bfloat16) for k, v in p.items()}
+            return sum(head_one(pb, xi) for xi in xs)
+        # bf16_3: inline per-apply casts (the current engine structure)
+        return sum(head_one({k: v.astype(jnp.bfloat16)
+                             for k, v in p.items()}, xi) for xi in xs)
 
     @jax.jit
     def run_steps(params, opt_state, x):
@@ -75,3 +87,5 @@ def run(dtype_mode: str, steps: int = 50, reps: int = 3):
 if __name__ == "__main__":
     run("bf16")
     run("f32")
+    run("bf16_3")
+    run("hoist_3")
