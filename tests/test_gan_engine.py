@@ -95,44 +95,58 @@ def test_adv_weight_scales_adversarial_term():
                                gap / 2, rtol=1e-4)
 
 
-@pytest.mark.parametrize("gates", [("TPUSR_D_FOLD",),
-                                   ("TPUSR_D_FOLD=2i",),
-                                   ("TPUSR_G_FOLD",),
-                                   ("TPUSR_D_FOLD", "TPUSR_G_FOLD")])
-def test_folded_step_matches_default(monkeypatch, gates):
-    """TPUSR_D_FOLD / TPUSR_G_FOLD =interpret route the D / G through the
-    folded zero-seam Pallas dataflows; one full train step must produce the
-    same updates, losses, and BN stats as the default flax path. Calls
-    _train_step_core directly: the env gates are read at trace time, so the
-    jitted wrapper's cache must not be shared across gate settings within
-    one process."""
+_FOLD_CFG = GANTrainConfig(factor=2, batch_size=4, hr_patch=64,
+                           residual_blocks_count=2)
+
+
+@pytest.fixture(scope="module")
+def fold_step_baseline():
+    """Shared default-path step result for the gate-combination params (the
+    baseline costs ~as much as each gated run; computing it once keeps the
+    file inside the suite's per-group time budget)."""
     import optax
     from tpusr.engine.gan import _train_step_core
 
     # factor 2 at 64² patches: LR patches are (4,32,32,3), which both
     # folded_d_supported and folded_g_supported admit
-    cfg = GANTrainConfig(factor=2, batch_size=4, hr_patch=64,
-                         residual_blocks_count=2)
     rng = np.random.default_rng(7)
     lr_b = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
     hr_b = jnp.asarray(rng.random((4, 64, 64, 3)) * 2 - 1, jnp.float32)
-    state = create_gan_state(jax.random.key(3), cfg, 1e-4)
+    state = create_gan_state(jax.random.key(3), _FOLD_CFG, 1e-4)
     # SGD, not Adam: Adam's normalization amplifies float-noise-level grad
     # differences on near-zero-gradient entries to a full ±lr step (and D
     # conv-bias grads are mathematically zero), which is not a routing
     # property. With plain SGD the post-step params differ exactly by the
     # gradient difference — the thing this test pins.
     tx = optax.sgd(1.0)
+    for v in ("TPUSR_D_FOLD", "TPUSR_G_FOLD"):
+        assert not __import__("os").environ.get(v)
+    want_state, want_logs = _train_step_core(state, lr_b, hr_b, _FOLD_CFG,
+                                             tx, lambda a, b: jnp.mean(
+                                                 jnp.square(a - b)))
+    return state, tx, lr_b, hr_b, want_state, want_logs
 
+
+@pytest.mark.parametrize("gates", [("TPUSR_D_FOLD",),
+                                   ("TPUSR_D_FOLD=2i",),
+                                   ("TPUSR_G_FOLD",),
+                                   ("TPUSR_D_FOLD", "TPUSR_G_FOLD")])
+def test_folded_step_matches_default(monkeypatch, fold_step_baseline, gates):
+    """TPUSR_D_FOLD / TPUSR_G_FOLD =interpret route the D / G through the
+    folded zero-seam Pallas dataflows; one full train step must produce the
+    same updates, losses, and BN stats as the default flax path. Calls
+    _train_step_core directly: the env gates are read at trace time, so the
+    jitted wrapper's cache must not be shared across gate settings within
+    one process."""
+    from tpusr.engine.gan import _train_step_core
+
+    state, tx, lr_b, hr_b, want_state, want_logs = fold_step_baseline
     monkeypatch.delenv("TPUSR_D_FOLD", raising=False)
     monkeypatch.delenv("TPUSR_G_FOLD", raising=False)
-    want_state, want_logs = _train_step_core(state, lr_b, hr_b, cfg, tx,
-                                             lambda a, b: jnp.mean(
-                                                 jnp.square(a - b)))
     for gate in gates:
         name, _, val = gate.partition("=")
         monkeypatch.setenv(name, val or "interpret")
-    got_state, got_logs = _train_step_core(state, lr_b, hr_b, cfg, tx,
+    got_state, got_logs = _train_step_core(state, lr_b, hr_b, _FOLD_CFG, tx,
                                            lambda a, b: jnp.mean(
                                                jnp.square(a - b)))
     np.testing.assert_allclose(float(got_logs["loss_D"]),

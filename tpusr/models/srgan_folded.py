@@ -1,29 +1,36 @@
-"""Folded SRGAN discriminator forward: the whole conv stack as batch-1
+"""Folded SRGAN training dataflows: G and D conv stacks as batch-1
 zero-seam canvases through the fused Pallas conv family.
 
-Reference workload: the D updates of ``do_epoch`` (train_GAN.py:38-53) at
-batch 8 (hardcoded, train_GAN.py:169) on 192² HR patches
-(discriminator.py:21-74 topology). The flax ``Discriminator``
-(models/srgan.py) remains the source of truth for parameters, eval, and
-checkpoints; this module re-executes the SAME math as one folded dataflow:
+Reference workload: ``do_epoch`` (train_GAN.py:38-71) at batch 8
+(hardcoded, train_GAN.py:169) on 192² HR patches (discriminator.py:21-74 /
+generator.py:44-81 topologies). The flax modules (models/srgan.py) remain
+the source of truth for parameters, eval, and checkpoints; this module
+re-executes the SAME math as folded dataflows:
 
-  * the batch rides zero-seam canvases (ops/batch_fold.py), so every conv is
-    batch-1 and Pallas-reachable; stride-2 convs run as 4-tap stride-1
+  * the batch rides zero-seam canvases (ops/batch_fold.py), so every conv
+    is batch-1 and Pallas-reachable; stride-2 convs run as 4-tap stride-1
     convs over a 2x2 space-to-depth packing (K = 4C MXU passes);
-  * each conv's kernel reduces per-channel sum/sum² in its epilogue; the
-    seam rows' contribution is subtracted (fold_stats_correct*), so
+  * each conv's kernel reduces per-channel sum/sum² in its epilogue, so
     BatchNorm never re-reads the tensor;
-  * BN normalize + LeakyReLU + seam re-zeroing fuse into ONE elementwise
+  * v1 (``discriminator_apply_folded`` / ``generator_apply_folded``):
+    BN normalize + activation + seam re-zeroing fuse into ONE elementwise
     pass between convs (the seam mask multiply restores exact zero seams,
-    which is what makes staying folded exact layer after layer);
+    which is what makes staying folded exact layer after layer), with
+    seam sums subtracted from the epilogue stats outside the kernel;
+  * v2 (``discriminator_apply_folded_v2``): ZERO inter-layer passes — the
+    BN affine + LeakyReLU ride the NEXT conv's in-kernel prologue, seams
+    are masked in-kernel (iota row/col masks), and the stats epilogue is
+    seam-exact, so between convs nothing touches the tensor;
   * spatial dims halve at each stride-2 block, so the canvas is refolded
-    (rows -> 2x4 grids) three times to keep W inside the kernels' sublane
-    constraints; refolds are cheap reshape+pad passes on shrinking tensors.
+    (rows -> 2xN grids) as needed to keep W inside the kernels' sublane
+    constraints; refolds are cheap reshape+pad passes on shrinking
+    tensors, and they chain exactly (they slice only valid regions).
 
-Exactness (fwd, grads, and BN running stats) is golden-tested against
-``Discriminator.apply`` in tests/test_srgan_folded.py. Routing is
-measurement-gated: engine/gan.py consults TPUSR_D_FOLD (default off) and
-the full-step A/B decides (tools/ab_fold_conv.py measures per-shape).
+Exactness (fwd, grads, and BN running stats) is golden-tested against the
+flax modules in tests/test_srgan_folded.py (aggregate grad tolerances —
+see the chaos-floor note there and in DESIGN.md). Routing is
+measurement-gated: engine/gan.py consults TPUSR_D_FOLD / TPUSR_G_FOLD
+(default off) and the full-step A/B decides (tools/ab_d_fold.py).
 """
 
 from __future__ import annotations
