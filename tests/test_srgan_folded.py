@@ -245,3 +245,30 @@ def test_folded_v2_grads_match_v1(d_setup):
             continue
         rel = np.linalg.norm(a - b_) / nb
         assert rel < 5e-3, (jax.tree_util.keystr(path), rel)
+
+
+def test_fused_g_eval_matches_flax(g_setup):
+    """The prologue-chained fused eval forward (TPUSR_G_FUSE=2) equals the
+    flax eval forward on a full image."""
+    from tpusr.models.srgan_folded import (fused_g_eval_supported,
+                                           generator_apply_fused_eval)
+
+    g, p, st, _ = g_setup
+    x = jnp.asarray(np.random.default_rng(11).uniform(0, 1, (1, 64, 96, 3)),
+                    jnp.float32)
+    assert fused_g_eval_supported(x.shape, GFACTOR)
+    want = g.apply({"params": p, "batch_stats": st}, x, False)
+    got = generator_apply_fused_eval(p, st, x, GFACTOR, GBLOCKS,
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_fused_g_eval_supported_gate():
+    from tpusr.models.srgan_folded import fused_g_eval_supported
+
+    assert fused_g_eval_supported((1, 96, 96, 3), 8)
+    assert not fused_g_eval_supported((2, 96, 96, 3), 8)   # batch
+    assert not fused_g_eval_supported((1, 90, 96, 3), 8)   # H % 8
+    assert not fused_g_eval_supported((1, 96, 512, 3), 8)  # 4W > 1024
+    assert fused_g_eval_supported((1, 96, 512, 3), 2)

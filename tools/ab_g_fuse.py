@@ -14,11 +14,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(worker: str, fuse: bool) -> str:
+def run(worker: str, fuse) -> str:
     env = dict(os.environ)
     env.pop("TPUSR_G_FUSE", None)
     if fuse:
-        env["TPUSR_G_FUSE"] = "1"
+        env["TPUSR_G_FUSE"] = fuse if isinstance(fuse, str) else "1"
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"),
          "--worker", worker, "--iters", "0"],
@@ -33,6 +33,7 @@ def main():
     for i in range(reps):
         print(f"[{i}] eval default: {run('gan_eval', False)}", flush=True)
         print(f"[{i}] eval fused:   {run('gan_eval', True)}", flush=True)
+        print(f"[{i}] eval chained: {run('gan_eval', '2')}", flush=True)
     print(f"train default: {run('gan_train', False)}", flush=True)
     print(f"train fused:   {run('gan_train', True)}", flush=True)
 

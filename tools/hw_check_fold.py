@@ -122,6 +122,52 @@ def main():
         print(f"seam+prologue kernel: FAILED {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
 
+    # PReLU prologue (traced scalar slope read from a (1,) VMEM operand —
+    # new scalar-read pattern on hardware) at an eval-G body shape
+    try:
+        x = jnp.asarray(rng.normal(size=(1, 96, 96, 64)), jnp.bfloat16)
+        w = jnp.asarray(rng.normal(size=(3, 3, 64, 64)) * 0.05, jnp.bfloat16)
+        es = jnp.asarray(rng.uniform(0.5, 1.5, (64,)), jnp.float32)
+        eb = jnp.asarray(rng.normal(size=(64,)) * 0.1, jnp.float32)
+        al = jnp.asarray([0.25], jnp.float32)
+
+        def fp(x, w, es, eb, al):
+            y = fused_conv3x3(x, w, es, eb, act="prelu", prelu_alpha=al,
+                              pad_mode="zero")
+            return jnp.sum(jnp.square(y.astype(jnp.float32)))
+
+        v = float(jax.jit(fp)(x, w, es, eb, al))
+        want, _ = _fused_ref(x, w, es, eb, affine=True, act="prelu",
+                             reflect=False, stats=False, alpha=al)
+        wv = float(jnp.sum(jnp.square(want.astype(jnp.float32))))
+        rel = abs(v - wv) / (abs(wv) + 1e-9)
+        assert rel < 2e-2, (v, wv)
+        print(f"prelu prologue: OK (rel {rel:.1e})", flush=True)
+    except Exception as e:
+        print(f"prelu prologue: FAILED {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+
+    # the fully fused eval G at the bench workload shape
+    try:
+        from tpusr.models.srgan import Generator
+        from tpusr.models.srgan_folded import generator_apply_fused_eval
+
+        gm = Generator(dtype="bfloat16")
+        lr = jnp.asarray(rng.uniform(0, 1, (1, 96, 96, 3)), jnp.float32)
+        vg = gm.init(jax.random.PRNGKey(3), jnp.zeros((1, 24, 24, 3)))
+        pg, stg = vg["params"], vg["batch_stats"]
+        out = jax.jit(lambda p: generator_apply_fused_eval(
+            p, stg, lr, 8, 16, dtype="bfloat16"))(pg)
+        got = float(jnp.sum(jnp.square(out)))
+        refo = gm.apply({"params": pg, "batch_stats": stg}, lr, False)
+        refv = float(jnp.sum(jnp.square(refo)))
+        rel = abs(got - refv) / (abs(refv) + 1e-9)
+        assert rel < 5e-2, (got, refv)
+        print(f"fused eval G: OK (rel {rel:.1e})", flush=True)
+    except Exception:
+        print("fused eval G: FAILED", flush=True)
+        traceback.print_exc()
+
     # the full folded D fwd+bwd at the reference workload, v1 and v2
     from tpusr.models.srgan import Discriminator
     from tpusr.models.srgan_folded import (discriminator_apply_folded,

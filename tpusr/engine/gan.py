@@ -250,5 +250,21 @@ def generator_forward(
         out, _ = g.apply({"params": params_G, "batch_stats": stats_G},
                          lr_images, True, mutable=["batch_stats"])
         return out
+    # EXPERIMENTAL, default off (TPUSR_G_FUSE=2, =2i interpret): the fully
+    # prologue-chained fused eval forward (models/srgan_folded.py) — BN
+    # affines are static in eval, so conv+BN+PReLU chains run in-kernel.
+    import os as _os
+    _gf = _os.environ.get("TPUSR_G_FUSE", "0")
+    if _gf in ("2", "2i"):
+        from tpusr.models.srgan_folded import (fused_g_eval_supported,
+                                               generator_apply_fused_eval)
+        from tpusr.ops.pallas_conv import fused_conv_available
+        interp = _gf == "2i"
+        if (fused_g_eval_supported(lr_images.shape, config.factor)
+                and (interp or fused_conv_available())):
+            return generator_apply_fused_eval(
+                params_G, stats_G, lr_images, config.factor,
+                config.residual_blocks_count, dtype=config.dtype,
+                interpret=interp)
     return g.apply({"params": params_G, "batch_stats": stats_G},
                    lr_images, False)

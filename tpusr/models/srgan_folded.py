@@ -327,6 +327,83 @@ def generator_apply_folded(params, batch_stats, x, factor: int,
     return jnp.tanh(z.astype(jnp.float32)), new_stats
 
 
+def fused_g_eval_supported(x_shape, factor: int) -> bool:
+    """Full-image eval shapes the fused generator covers: batch 1, H/W
+    sublane-aligned and wide enough for the kernels, and the widest
+    shuffle-conv input still inside the 1-D kernel's column budget."""
+    if len(x_shape) != 4:
+        return False
+    b, h, w, c = x_shape
+    n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}.get(factor)
+    if n_shuffles is None or b != 1 or c != 3:
+        return False
+    return (h % 8 == 0 and w % 8 == 0 and h >= 64 and w >= 64
+            and w * 2 ** (n_shuffles - 1) <= 1024)
+
+
+def generator_apply_fused_eval(params, batch_stats, x, factor: int,
+                               n_blocks: int, dtype: Any = None,
+                               interpret: bool = False):
+    """Fused full-image generator EVAL forward (eval_GAN.py:44 workload).
+
+    With running-stats BatchNorm the affines are static per checkpoint, so
+    each residual block runs as two fused kernels plus ONE elementwise
+    pass: conv1 plain -> conv2 with the BN1-affine + PReLU prologue
+    in-kernel -> (BN2 affine + residual add) fused by XLA. The long skip
+    works the same; shuffle convs run fused with bias+shuffle+PReLU as one
+    XLA pass; the 9x9 head rides the thin-Cout GEMM. Gated via
+    TPUSR_G_FUSE=2 in engine/gan.py (measurement: tools/ab_g_fuse.py)."""
+    assert fused_g_eval_supported(x.shape, factor), (x.shape, factor)
+    n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[factor]
+    if dtype is not None:
+        x = x.astype(dtype)
+    cdtype = x.dtype
+
+    def conv_w(tree, name):
+        pr = tree[name]
+        return pr["kernel"].astype(cdtype), pr["bias"]
+
+    def bn_eval_affine(tree, stats_tree, name, cb):
+        es, eb, _, _ = _bn_affine_from_stats(
+            None, 1, cb, tree[name]["scale"], tree[name]["bias"],
+            stats_tree[name]["mean"], stats_tree[name]["var"], train=False)
+        return es, eb
+
+    kw, kb = conv_w(params, "conv1")
+    z = conv_apply(x, kw, 1, "zero") + kb.astype(cdtype)
+    x0 = _prelu(params["prelu1"]["alpha"])(z)
+
+    z = x0
+    for i in range(n_blocks):
+        rp = params[f"res{i}"]
+        rs = batch_stats[f"res{i}"]
+        kw, kb = conv_w(rp, "conv1")
+        y1 = fused_conv3x3(z, kw, pad_mode="zero", interpret=interpret)
+        es, eb = bn_eval_affine(rp, rs, "bn1", kb)
+        kw, kb = conv_w(rp, "conv2")
+        y2 = fused_conv3x3(y1, kw, es, eb, act="prelu",
+                           prelu_alpha=rp["prelu1"]["alpha"],
+                           pad_mode="zero", interpret=interpret)
+        es, eb = bn_eval_affine(rp, rs, "bn2", kb)
+        z = z + y2 * es.astype(cdtype) + eb.astype(cdtype)
+
+    kw, kb = conv_w(params, "conv2")
+    y = fused_conv3x3(z, kw, pad_mode="zero", interpret=interpret)
+    es, eb = bn_eval_affine(params, batch_stats, "bn1", kb)
+    z = x0 + y * es.astype(cdtype) + eb.astype(cdtype)
+
+    for i in range(n_shuffles):
+        sp = params[f"ps{i}"]
+        kw, kb = conv_w(sp, "conv1")
+        y = fused_conv3x3(z, kw, pad_mode="zero", interpret=interpret)
+        y = pixel_shuffle(y + kb.astype(cdtype), 2)
+        z = _prelu(sp["prelu1"]["alpha"])(y)
+
+    kw, kb = conv_w(params, "conv3")
+    z = conv_apply(z, kw, 1, "zero") + kb.astype(cdtype)
+    return jnp.tanh(z.astype(jnp.float32))
+
+
 def discriminator_apply_folded(params, batch_stats, x, train: bool = True,
                                dtype: Any = None, interpret: bool = False):
     """Drop-in for ``Discriminator.apply`` on (B, P, P, 3) HR patches.

@@ -64,14 +64,15 @@ def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int,
     return 0
 
 
-def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
+def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
                 TH, H, W, Cin, RC, reflect, affine, act, stats, C0=None,
                 has_base=False, taps=_ALL_TAPS, seam=None):
     if has_base:
         # base: an already-computed (1,H,W,Cout) partial sum (e.g. the thin
-        # skip part of a SplitConv) added in-VMEM so the stats epilogue
-        # reduces the FINAL output — the Σ(a+b)² cross term makes partial
-        # stats unsplittable, so the sum must happen before the epilogue.
+        # skip part of a SplitConv, or a residual-block input) added
+        # in-VMEM so the stats epilogue reduces the FINAL output — the
+        # Σ(a+b)² cross term makes partial stats unsplittable, so the sum
+        # must happen before the epilogue.
         base_ref, y_ref, stat_ref, win, sem = refs
     else:
         base_ref = None
@@ -128,6 +129,11 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
             # this target; maximum/minimum do, and the math is identical.
             zero = jnp.zeros((), a0.dtype)
             a0 = jnp.maximum(a0, zero) + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero)
+        elif act == "prelu":
+            # torch nn.PReLU: one learned slope, passed as a (1,) operand
+            zero = jnp.zeros((), a0.dtype)
+            a0 = (jnp.maximum(a0, zero)
+                  + ap_ref[0].astype(a0.dtype) * jnp.minimum(a0, zero))
         if seam is not None:
             # Zero-seam canvas masking IN-KERNEL (the folded dataflows,
             # ops/batch_fold.py): canvas rows/cols beyond each cell's valid
@@ -237,7 +243,7 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
 
 
 def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                     taps=_ALL_TAPS, seam=None):
+                     taps=_ALL_TAPS, seam=None, alpha=None):
     """W > 1024: column overlap-discard onto the fast 1-D banded kernel.
 
     Supersedes _fwd_pallas_2d on the auto route (round 2 measured the 2-D
@@ -263,14 +269,15 @@ def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         y, _ = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                            reflect=reflect, stats=False,
                            interpret=interpret, col_win=(il, ir - il),
-                           taps=taps, seam=seam)
+                           taps=taps, seam=seam, alpha=alpha)
         outs.append(y[:, :, o0 - il : o1 - il])
         o0 = o1
     return jnp.concatenate(outs, axis=2), None
 
 
 def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                col_win=None, base=None, taps=_ALL_TAPS, seam=None):
+                col_win=None, base=None, taps=_ALL_TAPS, seam=None,
+                alpha=None):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
     RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
@@ -282,10 +289,11 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
             xl = x if RC == Cin else x[..., :RC]
             return _fused_ref(xl, w, es, eb, affine=affine, act=act,
                               reflect=reflect, stats=stats, base=base,
-                              seam=seam)
+                              seam=seam, alpha=alpha)
         return _fwd_pallas_cols(x, w, es, eb, affine=affine, act=act,
                                 reflect=reflect, stats=stats,
-                                interpret=interpret, taps=taps, seam=seam)
+                                interpret=interpret, taps=taps, seam=seam,
+                                alpha=alpha)
     TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize,
                       has_base=base is not None)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
@@ -294,7 +302,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
             xl = xl[:, :, C0 : C0 + W]
         return _fused_ref(xl, w, es, eb, affine=affine, act=act,
                           reflect=reflect, stats=stats, base=base,
-                          seam=seam)
+                          seam=seam, alpha=alpha)
     n = H // TH
     kern = functools.partial(
         _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin, RC=RC,
@@ -310,14 +318,16 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
     ]
     in_specs = [
         pl.BlockSpec(memory_space=pl.ANY),      # x stays in HBM
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # w (9, Cin, Cout)
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # w (T, Cin, Cout)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # es
         pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha (PReLU slope)
     ]
     w9 = w.reshape(9, RC, Cout)
     if taps != _ALL_TAPS:  # static subset: statically-zero taps never load
         w9 = jnp.stack([w9[t] for t in taps])
-    operands = [x, w9, es, eb]
+    operands = [x, w9, es, eb,
+                alpha if alpha is not None else jnp.zeros((1,), jnp.float32)]
     if base is not None:
         in_specs.append(pl.BlockSpec((1, TH, W, Cout), lambda i: (0, i, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -340,7 +350,7 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
 
 
 # ------------------------------------------------------------ wgrad kernel
-def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
+def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, ap_ref, dw_ref, win, sem, *,
                   TH, H, W, Cin, reflect, affine, act, taps=_ALL_TAPS,
                   seam=None):
     """dw[t] += patch_t(act(affine(x)))^T @ G per row tile.
@@ -389,6 +399,10 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
             zero = jnp.zeros((), a0.dtype)
             a0 = (jnp.maximum(a0, zero)
                   + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero))
+        elif act == "prelu":
+            zero = jnp.zeros((), a0.dtype)
+            a0 = (jnp.maximum(a0, zero)
+                  + ap_ref[0].astype(a0.dtype) * jnp.minimum(a0, zero))
         if seam is not None:
             # same in-kernel canvas masking as the forward (the wgrad's
             # prologue recompute must see the identical masked input)
@@ -468,7 +482,7 @@ def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int,
 
 
 def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
-                  taps=_ALL_TAPS, seam=None):
+                  taps=_ALL_TAPS, seam=None, alpha=None):
     """(3, 3, Cin, Cout) f32 kernel cotangent via the wgrad kernel.
 
     With a tap subset, only the live taps are computed; the rest come back
@@ -493,6 +507,7 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
                          memory_space=pltpu.VMEM),  # G, aligned blocks
             pl.BlockSpec(memory_space=pltpu.VMEM),  # es
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha (PReLU slope)
         ],
         out_shape=jax.ShapeDtypeStruct((T, Cin, Cout), jnp.float32),
         out_specs=pl.BlockSpec((T, Cin, Cout), lambda i: (0, 0, 0),
@@ -502,7 +517,8 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x, g, es, eb)
+    )(x, g, es, eb,
+      alpha if alpha is not None else jnp.zeros((1,), jnp.float32))
     if taps == _ALL_TAPS:
         return dwT.reshape(3, 3, Cin, Cout)
     dw9 = jnp.zeros((9, Cin, Cout), jnp.float32)
@@ -521,22 +537,24 @@ def _seam_mask_hw(H, W, seam, dtype):
     return (r[:, None] & c[None, :])[None, :, :, None].astype(dtype)
 
 
-def _prologue_ref(x, es, eb, affine, act, seam=None):
+def _prologue_ref(x, es, eb, affine, act, seam=None, alpha=None):
     a = x
     if affine:
         a = a * es.astype(a.dtype) + eb.astype(a.dtype)
     if act == "leaky_relu":
         a = jnp.where(a >= 0, a, 0.2 * a)
+    elif act == "prelu":
+        a = jnp.where(a >= 0, a, alpha.astype(a.dtype) * a)
     if seam is not None:
         a = a * _seam_mask_hw(a.shape[1], a.shape[2], seam, a.dtype)
     return a
 
 
 def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None,
-               seam=None):
+               seam=None, alpha=None):
     """Pure-XLA reference implementation (used for the custom-VJP backward
     and as the numerical oracle in tests)."""
-    a = _prologue_ref(x, es, eb, affine, act, seam)
+    a = _prologue_ref(x, es, eb, affine, act, seam, alpha)
     mode = "reflect" if reflect else "constant"
     ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
     y = jax.lax.conv_general_dilated(
@@ -557,24 +575,24 @@ def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None,
 
 
 # ---------------------------------------------------------------- custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10, 11))
-def _fused_conv(x, w, es, eb, base, affine, act, reflect, stats, interpret,
-                taps, seam):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+def _fused_conv(x, w, es, eb, base, alpha, affine, act, reflect, stats,
+                interpret, taps, seam):
     y, st = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                         reflect=reflect, stats=stats, interpret=interpret,
-                        base=base, taps=taps, seam=seam)
+                        base=base, taps=taps, seam=seam, alpha=alpha)
     return (y, st) if stats else y
 
 
-def _fused_conv_fwd(x, w, es, eb, base, affine, act, reflect, stats,
+def _fused_conv_fwd(x, w, es, eb, base, alpha, affine, act, reflect, stats,
                     interpret, taps, seam):
-    out = _fused_conv(x, w, es, eb, base, affine, act, reflect, stats,
-                      interpret, taps, seam)
+    out = _fused_conv(x, w, es, eb, base, alpha, affine, act, reflect,
+                      stats, interpret, taps, seam)
     y = out[0] if stats else out
     # y rides the residuals only for the stats cotangent (sum/sum² backprop
     # needs the primal output); it is already materialized in HBM. base
     # rides only for its pytree None-ness (db must mirror its structure).
-    return out, (x, w, es, eb, y if stats else None, base)
+    return out, (x, w, es, eb, y if stats else None, base, alpha)
 
 
 def _reflect_fold_corrections(dpa, G, wd):
@@ -616,6 +634,7 @@ def _reflect_fold_corrections(dpa, G, wd):
 
 def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
                     g):
+    """NOTE: nondiff args arrive first in custom_vjp order."""
     """Hand-built backward: exactly one dgrad conv + one wgrad conv + fused
     elementwise — no forward recompute. When shapes allow, BOTH convs run
     as Pallas kernels: dgrad IS the forward kernel with the rotated/
@@ -628,7 +647,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
 
     The base input (if any) is a straight add-through: its cotangent is the
     combined output cotangent G (incl. the stats sum/sum² terms)."""
-    x, w, es, eb, y, base = res
+    x, w, es, eb, y, base, alpha = res
     pad_c = x.shape[-1] - w.shape[2]  # lane padding on the operand (small-C)
     xp = x  # physical (possibly lane-padded) operand for the Pallas kernels
     if pad_c:
@@ -658,6 +677,10 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
         pa = jnp.where(a0 >= 0, a0, 0.2 * a0)
         aprime = jnp.where(a0 >= 0, jnp.asarray(1.0, x.dtype),
                            jnp.asarray(0.2, x.dtype))
+    elif act == "prelu":
+        av = alpha.astype(x.dtype)
+        pa = jnp.where(a0 >= 0, a0, av * a0)
+        aprime = jnp.where(a0 >= 0, jnp.asarray(1.0, x.dtype), av)
     else:
         pa = a0
         aprime = None
@@ -715,7 +738,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
         # when the dgrad side fits); fall back per-operand, not per-conv.
         dwp = _wgrad_pallas(xp, Gp, es, eb, affine=affine, act=act,
                             reflect=reflect, interpret=interpret, taps=taps,
-                            seam=seam)
+                            seam=seam, alpha=alpha)
         if dwp is not None:
             dw = dwp[:, :, :Ci, :Co].astype(wd.dtype)
     if dpa is None:
@@ -746,14 +769,20 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
             conv_in_w, jax.ShapeDtypeStruct(wd.shape, wd.dtype))(G)
 
     # prologue backward
-    if act == "leaky_relu":
-        dpre = dpa * aprime
-    else:
-        dpre = dpa
     if M is not None:
         # forward: y = conv(M·act(affine(x))) — the mask factors into every
         # pre-mask cotangent (fuses into the same elementwise pass)
-        dpre = dpre * M
+        dpa = dpa * M
+    dalpha = None
+    if aprime is not None:
+        dpre = dpa * aprime
+        if act == "prelu":
+            dalpha = jnp.sum(dpa.astype(jnp.float32)
+                             * jnp.minimum(a0, 0).astype(jnp.float32),
+                             keepdims=True).reshape(alpha.shape
+                                                    ).astype(alpha.dtype)
+    else:
+        dpre = dpa
     if affine:
         dx = dpre * es_l.astype(x.dtype)
         red = (0, 1, 2)
@@ -770,7 +799,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
     if pad_c:
         dx = jnp.pad(dx, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
     db = None if base is None else G.astype(base.dtype)
-    return dx, dw, des, deb, db
+    return dx, dw, des, deb, db, dalpha
 
 
 _fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
@@ -778,7 +807,7 @@ _fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
                   pad_mode="reflection", stats=False, interpret=False,
-                  base=None, taps=None, seam=None):
+                  base=None, taps=None, seam=None, prelu_alpha=None):
     """y = conv3x3(act(x*eff_scale+eff_bias)) [+ base] with in-kernel halos.
 
     x: (1,H,W,Cin) bf16/f32; w: (3,3,RC,Cout) with RC <= Cin. Returns y or
@@ -812,6 +841,11 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     if seam is not None:
         assert pad_mode == "zero", "seam masking is for zero-seam canvases"
         seam = tuple(seam)
+    if act == "prelu":
+        # torch nn.PReLU's single learned slope as a (1,) traced operand
+        assert prelu_alpha is not None and prelu_alpha.shape == (1,)
+    else:
+        assert prelu_alpha is None, "prelu_alpha is only read by act='prelu'"
     Cin = x.shape[-1]
     Cout = w.shape[-1]
     RC = w.shape[2]
@@ -847,12 +881,12 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
             "H%8 row-padding requires a plain zero-pad conv"
         hp = (8 - H % 8)
         xp = jnp.pad(x, ((0, 0), (0, hp), (0, 0), (0, 0)))
-        y = _fused_conv(xp, w, eff_scale, eff_bias, None, affine, act,
+        y = _fused_conv(xp, w, eff_scale, eff_bias, None, None, affine, act,
                         False, False, interpret, tap_t, None)
         return y[:, :H]
-    return _fused_conv(x, w, eff_scale, eff_bias, base, affine, act,
-                       pad_mode == "reflection", stats, interpret, tap_t,
-                       seam)
+    return _fused_conv(x, w, eff_scale, eff_bias, base, prelu_alpha, affine,
+                       act, pad_mode == "reflection", stats, interpret,
+                       tap_t, seam)
 
 
 def fused_conv_supported(x_shape, k: int, stride: int,
