@@ -272,3 +272,60 @@ def test_fused_g_eval_supported_gate():
     assert not fused_g_eval_supported((1, 90, 96, 3), 8)   # H % 8
     assert not fused_g_eval_supported((1, 96, 512, 3), 8)  # 4W > 1024
     assert fused_g_eval_supported((1, 96, 512, 3), 2)
+
+
+@pytest.mark.parametrize("train", [True, False])
+def test_folded_g_chain_matches_flax(g_setup, train):
+    """chain=True (TPUSR_G_FOLD=2): intra-block prologue chaining +
+    seam-exact in-kernel stats — same math, fwd + running stats."""
+    from tpusr.models.srgan_folded import generator_apply_folded
+
+    g, p, st, x = g_setup
+    want, upd = g.apply({"params": p, "batch_stats": st}, x, train,
+                        mutable=["batch_stats"])
+    got, got_st = generator_apply_folded(p, st, x, GFACTOR, GBLOCKS,
+                                         train=train, interpret=True,
+                                         chain=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+    want_st = upd["batch_stats"]
+    flat_w = jax.tree_util.tree_leaves_with_path(want_st)
+    flat_g = dict(jax.tree_util.tree_leaves_with_path(got_st))
+    for path, leaf in flat_w:
+        np.testing.assert_allclose(np.asarray(flat_g[path]),
+                                   np.asarray(leaf), rtol=1e-4, atol=1e-5,
+                                   err_msg=jax.tree_util.keystr(path))
+
+
+def test_folded_g_chain_grads_match_unchained(g_setup):
+    """chain and no-chain are the same math with different fusion
+    boundaries: grads agree tightly leaf-by-leaf (both folded)."""
+    from tpusr.models.srgan_folded import generator_apply_folded
+
+    _, p, st, x = g_setup
+    cot = jnp.asarray(
+        np.random.default_rng(8).normal(size=(GB, GP * GFACTOR,
+                                              GP * GFACTOR, 3)), jnp.float32)
+
+    def loss(chain):
+        def inner(p_, x_):
+            out, _ = generator_apply_folded(p_, st, x_, GFACTOR, GBLOCKS,
+                                            train=True, interpret=True,
+                                            chain=chain)
+            return jnp.sum(out * cot)
+        return inner
+
+    g0 = jax.grad(loss(False), argnums=(0, 1))(p, x)
+    g1 = jax.grad(loss(True), argnums=(0, 1))(p, x)
+    np.testing.assert_allclose(np.asarray(g1[1]), np.asarray(g0[1]),
+                               rtol=1e-3, atol=1e-4)
+    flat0 = dict(jax.tree_util.tree_leaves_with_path(g0[0]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g1[0]):
+        a = np.asarray(leaf, np.float64)
+        b_ = np.asarray(flat0[path], np.float64)
+        nb = np.linalg.norm(b_)
+        if nb < 1e-8:
+            assert np.linalg.norm(a) < 1e-6, jax.tree_util.keystr(path)
+            continue
+        rel = np.linalg.norm(a - b_) / nb
+        assert rel < 5e-3, (jax.tree_util.keystr(path), rel)

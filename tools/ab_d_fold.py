@@ -21,7 +21,8 @@ VARIANTS = {
     "dfold": {"TPUSR_D_FOLD": "1"},
     "dfold2": {"TPUSR_D_FOLD": "2"},   # v2: in-kernel seam masks/prologues
     "gfold": {"TPUSR_G_FOLD": "1"},
-    "both": {"TPUSR_D_FOLD": "2", "TPUSR_G_FOLD": "1"},
+    "gfold2": {"TPUSR_G_FOLD": "2"},   # chained intra-block prologues
+    "both": {"TPUSR_D_FOLD": "2", "TPUSR_G_FOLD": "2"},
 }
 
 

@@ -160,12 +160,13 @@ def _train_step_core(
             from tpusr.models.srgan_folded import (
                 folded_g_supported, generator_apply_folded)
             from tpusr.ops.pallas_conv import fused_conv_available
-            interp = _gfold == "interpret"
+            interp = _gfold in ("interpret", "2i")
             if (folded_g_supported(x.shape, config.factor)
                     and (interp or fused_conv_available())):
                 return generator_apply_folded(
                     p, st, x, config.factor, config.residual_blocks_count,
-                    train=True, dtype=config.dtype, interpret=interp)
+                    train=True, dtype=config.dtype, interpret=interp,
+                    chain=_gfold in ("2", "2i"))
         return g_apply(p, st, x)
 
     # --- One generator forward, linearized (train_GAN.py:41 computes

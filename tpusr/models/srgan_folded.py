@@ -234,7 +234,8 @@ def _prelu(alpha):
 
 def generator_apply_folded(params, batch_stats, x, factor: int,
                            n_blocks: int, train: bool = True,
-                           dtype: Any = None, interpret: bool = False):
+                           dtype: Any = None, interpret: bool = False,
+                           chain: bool = False):
     """Drop-in for ``Generator.apply`` on (B, p, p, 3) LR training patches.
 
     The whole G runs as ONE zero-seam 2xN grid canvas: conv1 (9x9, seam-4
@@ -244,7 +245,12 @@ def generator_apply_folded(params, batch_stats, x, factor: int,
     refold after each non-final shuffle to shed seam growth -> 9x9 head
     via the thin-Cout GEMM on the canvas. PReLU fixes 0, so seams stay
     zero through activations; each BN re-zeros them in its fused
-    elementwise pass. Returns (sr (B,P,P,3) f32, new_batch_stats)."""
+    elementwise pass. Returns (sr (B,P,P,3) f32, new_batch_stats).
+
+    chain=True (TPUSR_G_FOLD=2): the intra-block BN1 affine + PReLU ride
+    conv2's in-kernel prologue and every stats epilogue is seam-exact
+    in-kernel (seam specs), so each residual block costs two kernels plus
+    ONE elementwise pass (BN2 affine + residual add + seam re-zero)."""
     b, p, _, _ = x.shape
     assert folded_g_supported(x.shape, factor), (x.shape, factor)
     n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[factor]
@@ -276,6 +282,8 @@ def generator_apply_folded(params, batch_stats, x, factor: int,
     x0 = z * mask
 
     # ---- residual blocks (fused convs + epilogue stats) ----
+    spec = (cells, v, cells, v) if chain else None
+    n = b * v * v
     z = x0
     for i in range(n_blocks):
         rp = params[f"res{i}"]
@@ -283,26 +291,51 @@ def generator_apply_folded(params, batch_stats, x, factor: int,
         ns = {}
         kw, kb = conv_w(rp, "conv1")
         y, st2 = fused_conv3x3(z, kw, pad_mode="zero", stats=True,
-                               interpret=interpret)
-        st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
-        h, ns["bn1"] = bn_step(y, st2, v, kb, "bn1", rp, rs,
-                               _prelu(rp["prelu1"]["alpha"]), mask)
-        kw, kb = conv_w(rp, "conv2")
-        y, st2 = fused_conv3x3(h, kw, pad_mode="zero", stats=True,
-                               interpret=interpret)
-        st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
-        h, ns["bn2"] = bn_step(y, st2, v, kb, "bn2", rp, rs, None, mask)
-        z = z + h
+                               interpret=interpret, seam=spec)
+        if chain:
+            # BN1 affine + PReLU ride conv2's prologue; stats seam-exact
+            es, eb, nm, nv = _bn_affine_from_stats(
+                st2, n, kb, rp["bn1"]["scale"], rp["bn1"]["bias"],
+                rs["bn1"]["mean"], rs["bn1"]["var"], train)
+            ns["bn1"] = {"mean": nm, "var": nv}
+            kw, kb = conv_w(rp, "conv2")
+            y, st2 = fused_conv3x3(y, kw, es, eb, act="prelu",
+                                   prelu_alpha=rp["prelu1"]["alpha"],
+                                   pad_mode="zero", stats=True,
+                                   interpret=interpret, seam=spec)
+            es, eb, nm, nv = _bn_affine_from_stats(
+                st2, n, kb, rp["bn2"]["scale"], rp["bn2"]["bias"],
+                rs["bn2"]["mean"], rs["bn2"]["var"], train)
+            ns["bn2"] = {"mean": nm, "var": nv}
+            # BN2 affine + residual add + seam re-zero: one fused pass
+            z = (z + y * es.astype(cdtype) + eb.astype(cdtype)) * mask
+        else:
+            st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
+            h, ns["bn1"] = bn_step(y, st2, v, kb, "bn1", rp, rs,
+                                   _prelu(rp["prelu1"]["alpha"]), mask)
+            kw, kb = conv_w(rp, "conv2")
+            y, st2 = fused_conv3x3(h, kw, pad_mode="zero", stats=True,
+                                   interpret=interpret)
+            st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
+            h, ns["bn2"] = bn_step(y, st2, v, kb, "bn2", rp, rs, None, mask)
+            z = z + h
         new_stats[f"res{i}"] = ns
 
     # ---- conv2 + bn1 + long skip (generator.py:70-74) ----
     kw, kb = conv_w(params, "conv2")
     y, st2 = fused_conv3x3(z, kw, pad_mode="zero", stats=True,
-                           interpret=interpret)
-    st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
-    z, new_stats["bn1"] = bn_step(y, st2, v, kb, "bn1", params, batch_stats,
-                                  None, mask)
-    z = x0 + z
+                           interpret=interpret, seam=spec)
+    if chain:
+        es, eb, nm, nv = _bn_affine_from_stats(
+            st2, n, kb, params["bn1"]["scale"], params["bn1"]["bias"],
+            batch_stats["bn1"]["mean"], batch_stats["bn1"]["var"], train)
+        new_stats["bn1"] = {"mean": nm, "var": nv}
+        z = (x0 + y * es.astype(cdtype) + eb.astype(cdtype)) * mask
+    else:
+        st2 = fold_stats_correct_grid(y, st2, gh, gw, v, v)
+        z, new_stats["bn1"] = bn_step(y, st2, v, kb, "bn1", params,
+                                      batch_stats, None, mask)
+        z = x0 + z
 
     # ---- shuffle blocks; refold after each non-final shuffle ----
     for i in range(n_shuffles):
