@@ -65,8 +65,7 @@ def folded_d_supported(x_shape) -> bool:
 
 
 def _bn_act_mask(y, stats2c, n, cb, scale, bias, ra_mean, ra_var, train,
-                 mask, act=lambda z: leaky_relu(z, 0.2), eps=1e-5,
-                 momentum=0.1):
+                 mask, act=lambda z: leaky_relu(z, 0.2)):
     """BatchNorm (torch semantics, models/layers.py:293-367 conv_stats
     branch) + activation + seam re-zero as one fused elementwise pass.
 
@@ -75,20 +74,8 @@ def _bn_act_mask(y, stats2c, n, cb, scale, bias, ra_mean, ra_var, train,
     into the affine exactly (mean(y+cb) = sum/n + cb, var shift-invariant).
     act: elementwise callable or None (the D uses LeakyReLU(0.2), the G's
     res blocks PReLU / identity). Returns (z, new_ra_mean, new_ra_var)."""
-    if train:
-        m_raw = stats2c[0] / n
-        var = jnp.maximum(stats2c[1] / n - jnp.square(m_raw), 0.0)
-        mean = m_raw + cb
-        unbiased = var * (n / max(n - 1, 1))
-        new_mean = (1 - momentum) * ra_mean + momentum * mean
-        new_var = (1 - momentum) * ra_var + momentum * unbiased
-        use_mean, use_var = mean, var
-    else:
-        new_mean, new_var = ra_mean, ra_var
-        use_mean, use_var = ra_mean, ra_var
-    inv = jax.lax.rsqrt(use_var + eps)
-    es = inv * scale
-    eb = bias - (use_mean - cb) * inv * scale
+    es, eb, new_mean, new_var = _bn_affine_from_stats(
+        stats2c, n, cb, scale, bias, ra_mean, ra_var, train)
     z = y * es.astype(y.dtype) + eb.astype(y.dtype)
     if act is not None:
         z = act(z)
