@@ -458,3 +458,54 @@ def test_seam_masked_grid_s2_packed():
     for a, b_ in zip(gf, gw):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_fold_geometry_property_sweep():
+    """Randomized sweep over the supported fold-geometry class: row folds
+    (stride 1/2, random seams), grid folds (random grids/seams), and the
+    packed stride-2 route must all equal the plain batched conv. Catches
+    edge geometries (odd valid sizes, minimal seams, non-square cells) the
+    fixed-shape golden tests don't cover."""
+    from tpusr.ops.batch_fold import (fold_seam, folded_conv_s2_pallas,
+                                      folded_conv_s2_grid_pallas)
+
+    rng = np.random.default_rng(42)
+    for trial in range(12):
+        stride = int(rng.choice([1, 2]))
+        b = int(rng.choice([2, 3, 4, 6, 8]))
+        h = int(rng.choice([4, 6, 8, 10, 12, 16])) * (2 if stride == 2
+                                                      else 1)
+        w_ = int(rng.choice([4, 6, 8, 10, 12]))
+        ci, co = int(rng.choice([2, 3, 5])), int(rng.choice([2, 4, 7]))
+        x = jnp.asarray(rng.normal(size=(b, h, w_, ci)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, ci, co)) * 0.2, jnp.float32)
+        want = conv_apply(x, k, stride, "zero")
+
+        # rows fold with a random (valid) seam
+        s_min = fold_seam(3, stride)
+        s = s_min + int(rng.integers(0, 3)) * (2 if stride == 2 else 1)
+        y = conv_apply(fold_rows(x, s), k, stride, "zero")
+        got = unfold_rows(y, b, h // stride, stride)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5,
+                                   err_msg=f"rows t{trial} s={s}")
+
+        # grid fold (random factorization of b) where stride phase allows
+        facs = [(g, b // g) for g in range(1, b + 1) if b % g == 0]
+        gh, gw = facs[int(rng.integers(0, len(facs)))]
+        step = 2 if stride == 2 else 1
+        sh = s_min + int(rng.integers(0, 3)) * step
+        sw = s_min + int(rng.integers(0, 3)) * step
+        if (h + sh) % stride == 0 and (w_ + sw) % stride == 0:
+            got = folded_conv_grid(x, k, stride, "zero", gh, gw, sh, sw)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5,
+                err_msg=f"grid t{trial} {gh}x{gw} s=({sh},{sw})")
+
+        # packed stride-2 Pallas route (interpret)
+        if stride == 2 and w_ % 2 == 0:
+            got = folded_conv_s2_pallas(x, k, seam=max(2, s_min),
+                                        interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
+                err_msg=f"s2pack t{trial}")
