@@ -509,3 +509,72 @@ def test_fold_geometry_property_sweep():
             np.testing.assert_allclose(
                 np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4,
                 err_msg=f"s2pack t{trial}")
+
+
+def test_seam_spec_property_sweep():
+    """Randomized seam-spec sweep through the interpret kernel: for random
+    cell geometries, a seam-masked fused conv with affine+act prologue and
+    stats must equal prologue -> explicit mask -> conv -> masked stats in
+    XLA, fwd and grads. Pins the in-kernel iota row/col mask indexing for
+    arbitrary (block, valid) combinations and grid positions."""
+    from tpusr.ops.pallas_conv import _seam_mask_hw, fused_conv3x3
+
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        bh = int(rng.choice([4, 5, 8, 10, 13]))
+        vh = int(rng.integers(2, bh))
+        bw = int(rng.choice([4, 6, 8, 9]))
+        vw = int(rng.integers(2, bw + 1))
+        nh = int(rng.choice([2, 3, 4]))
+        nw = int(rng.choice([1, 2, 3]))
+        H, W, C = bh * nh, bw * nw, 8
+        if H % 8:
+            H, nh = bh * -(-8 // bh) * 8 // bh, None  # keep H small-ish
+            H = bh * max(1, (8 // bh) or 1)
+            while H % 8:
+                H += bh
+        x = jnp.asarray(rng.normal(size=(1, H, W, C)), jnp.float32)
+        k = jnp.asarray(rng.normal(size=(3, 3, C, 16)) * 0.2, jnp.float32)
+        es = jnp.asarray(rng.uniform(0.5, 1.5, (C,)), jnp.float32)
+        eb = jnp.asarray(rng.normal(size=(C,)) * 0.3, jnp.float32)
+        spec = (bh, vh, bw, vw)
+        cot = jnp.asarray(rng.normal(size=(1, H, W, 16)), jnp.float32)
+
+        def fold_loss(x, k, es, eb):
+            y, st = fused_conv3x3(x, k, es, eb, act="leaky_relu",
+                                  pad_mode="zero", stats=True,
+                                  interpret=True, seam=spec)
+            return jnp.sum(y * cot) + 0.01 * jnp.sum(st)
+
+        def ref_loss(x, k, es, eb):
+            a = x * es + eb
+            a = jnp.where(a >= 0, a, 0.2 * a)
+            a = a * _seam_mask_hw(H, W, spec, a.dtype)
+            y = conv_apply(a, k, 1, "zero")
+            m = _seam_mask_hw(H, W, spec, jnp.float32)
+            ym = y * m
+            st = jnp.stack([jnp.sum(ym, (0, 1, 2)),
+                            jnp.sum(ym * y, (0, 1, 2))])
+            return jnp.sum(y * cot) + 0.01 * jnp.sum(st)
+
+        y_f, st_f = fused_conv3x3(x, k, es, eb, act="leaky_relu",
+                                  pad_mode="zero", stats=True,
+                                  interpret=True, seam=spec)
+        a = jnp.where(x * es + eb >= 0, x * es + eb, 0.2 * (x * es + eb))
+        a = a * _seam_mask_hw(H, W, spec, a.dtype)
+        y_r = conv_apply(a, k, 1, "zero")
+        m = _seam_mask_hw(H, W, spec, jnp.float32)
+        st_r = jnp.stack([jnp.sum(y_r * m, (0, 1, 2)),
+                          jnp.sum(y_r * m * y_r, (0, 1, 2))])
+        np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_r),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg=f"fwd t{trial} {spec}")
+        np.testing.assert_allclose(np.asarray(st_f), np.asarray(st_r),
+                                   rtol=1e-4, atol=1e-3,
+                                   err_msg=f"stats t{trial} {spec}")
+        gf = jax.grad(fold_loss, argnums=(0, 1, 2, 3))(x, k, es, eb)
+        gr = jax.grad(ref_loss, argnums=(0, 1, 2, 3))(x, k, es, eb)
+        for a, b_ in zip(gf, gr):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=1e-4, atol=1e-4,
+                err_msg=f"grad t{trial} spec={spec} H={H} W={W}")
