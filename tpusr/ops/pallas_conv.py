@@ -8,26 +8,34 @@ several whole-tensor passes per conv. This kernel collapses the block to
 ONE read and ONE write per conv:
 
   * prologue (VPU, on the input tile in VMEM): optional per-channel affine
-    (the BN normalize folded to eff_scale/eff_bias) + optional LeakyReLU —
+    (the BN normalize folded to eff_scale/eff_bias) + optional activation
+    (LeakyReLU(0.2), or PReLU with the learned slope as a (1,) operand) —
     the elementwise tail of the PREVIOUS conv block;
+  * optional in-kernel zero-seam canvas masking (`seam=(bh,vh,bw,vw)`,
+    iota row/col masks): the folded batch dataflows (ops/batch_fold.py,
+    models/srgan_folded.py) chain whole conv stacks with no inter-layer
+    elementwise passes;
   * halo handling in the DMA/index path: reflect ('reflection', parity with
     models/DIP/utils.py:96-102) or zero padding never materializes a padded
     copy in HBM;
-  * 3x3 conv as 9 MXU matmuls accumulated in f32;
-  * epilogue: per-channel sum / sum-of-squares partials of the OUTPUT — the
-    batch statistics the next BatchNorm needs, so its separate half-
-    bandwidth reduction pass disappears.
+  * 3x3 conv as MXU matmuls accumulated in f32 over a STATIC tap subset
+    (default all 9; the space-to-depth stride-2 route keeps 4 of 9 with
+    K=4C), tap-grouped onto full 128-wide passes for small C;
+  * epilogue: per-channel sum / sum-of-squares partials of the OUTPUT
+    (seam-exact under a seam spec) — the batch statistics the next
+    BatchNorm needs, so its separate reduction pass disappears.
 
 Training rides a custom VJP (pallas_call has no autodiff rule): dgrad is
-the same kernel shape with flipped weights over the output cotangent plus
-the prologue's local derivative; wgrad accumulates the 9 tap GEMMs
-transposed. Residuals are (x, w, es, eb) — all tensors the surrounding
-graph already keeps alive.
+the same kernel shape with flipped weights (mirrored tap subset) over the
+output cotangent plus the prologue's local derivative; wgrad accumulates
+the live tap GEMMs transposed, falling back to XLA alone when its dw
+block exceeds VMEM. 32/64-channel operands ride lane-padded through both
+directions (small Cout pads the cotangent side).
 
 Only the shapes that dominate the profile go through Pallas (batch 1,
-k=3, C multiples of the 128-lane tile); everything else falls back to
-conv_apply. Gated hard off on non-TPU backends (the CPU interpreter is
-used by tests via interpret=True explicitly).
+k=3, C multiples of the 128-lane tile or 32/64); everything else falls
+back to conv_apply. Gated hard off on non-TPU backends (the CPU
+interpreter is used by tests via interpret=True explicitly).
 """
 
 from __future__ import annotations
