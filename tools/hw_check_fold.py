@@ -79,9 +79,16 @@ def main():
                     a[..., :rc], b, None, None, affine=False, act=None,
                     reflect=False, stats=False)[0].astype(jnp.float32))),
                 argnums=(0, 1))(x, w)
-            rel = float(jnp.abs(g[1].astype(jnp.float32)
-                                - gw_.astype(jnp.float32)).max()
-                        / (jnp.abs(gw_.astype(jnp.float32)).max() + 1e-9))
+            gw1, gw2 = g[1].astype(jnp.float32), gw_.astype(jnp.float32)
+            if taps is not None:
+                # dead-tap dw is unspecified (zero on the Pallas wgrad,
+                # full-conv value on the XLA fallback and on this full-conv
+                # oracle); callers discard it (pack_s2_weights' VJP reads
+                # live positions only) — compare live taps only.
+                tm = jnp.asarray(mask, jnp.float32)
+                gw1, gw2 = gw1 * tm, gw2 * tm
+            rel = float(jnp.abs(gw1 - gw2).max()
+                        / (jnp.abs(gw2).max() + 1e-9))
             assert rel < 5e-2, rel
             print(f"{label}: bwd OK (dw rel {rel:.1e})", flush=True)
         except Exception as e:

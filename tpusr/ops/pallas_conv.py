@@ -157,15 +157,20 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
             # halo: canvas row -1 -> (-1 % bh) = bh-1 >= vh -> masked,
             # which matches its zero-halo value; halo rows are re-zeroed
             # after the prologue regardless)
-            row_idx = (jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0)
+            # Masks are built at the full 3-D value shape: Mosaic cannot
+            # insert a minor dim on an i1 vector ("Insertion of minor dim
+            # that is not a no-op only supported for 32-bit types", measured
+            # on v5e), but an i1 compare -> dtype convert at full shape
+            # lowers fine (the pallas_dense row-mask pattern).
+            row_idx = (jax.lax.broadcasted_iota(jnp.int32, a0.shape, 0)
                        + i * TH - 1)
-            col_idx = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
-            if C0 is not None:
-                col_idx = col_idx + C0
             ok = (row_idx % bh) < vh
             if vw < bw:
+                col_idx = jax.lax.broadcasted_iota(jnp.int32, a0.shape, 1)
+                if C0 is not None:
+                    col_idx = col_idx + C0
                 ok = jnp.logical_and(ok, (col_idx % bw) < vw)
-            a0 = a0 * ok[:, :, None].astype(a0.dtype)
+            a0 = a0 * ok.astype(a0.dtype)
         win[:] = a0
 
     if not reflect:
@@ -234,15 +239,17 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
             # block covers canvas rows [i*TH, i*TH+TH); out geometry ==
             # the kernel-visible input canvas geometry (stride 1).
             bh, vh, bw, vw = seam
-            orow = (jax.lax.broadcasted_iota(jnp.int32, (TH, W), 0)
-                    + i * TH)
+            # full 3-D iota masks — see the prologue mask note (Mosaic
+            # rejects minor-dim inserts on i1 vectors)
+            osh = (TH, W, w_ref.shape[-1])
+            orow = jax.lax.broadcasted_iota(jnp.int32, osh, 0) + i * TH
             ook = (orow % bh) < vh
             if vw < bw:
-                ocol = jax.lax.broadcasted_iota(jnp.int32, (TH, W), 1)
+                ocol = jax.lax.broadcasted_iota(jnp.int32, osh, 1)
                 if C0 is not None:
                     ocol = ocol + C0
                 ook = jnp.logical_and(ook, (ocol % bw) < vw)
-            m = ook[None, :, :, None].astype(jnp.float32)
+            m = ook.astype(jnp.float32)[None]
             stat_ref[0, 0] = jnp.sum(y * m, axis=(0, 1, 2))
             stat_ref[0, 1] = jnp.sum(jnp.square(y) * m, axis=(0, 1, 2))
         else:
@@ -415,13 +422,15 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, ap_ref, dw_ref, win, sem, *,
             # same in-kernel canvas masking as the forward (the wgrad's
             # prologue recompute must see the identical masked input)
             bh, vh, bw, vw = seam
-            row_idx = (jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 0)
+            # full 3-D iota masks — see the fwd prologue mask note (Mosaic
+            # rejects minor-dim inserts on i1 vectors)
+            row_idx = (jax.lax.broadcasted_iota(jnp.int32, a0.shape, 0)
                        + i * TH - 1)
             ok = (row_idx % bh) < vh
             if vw < bw:
-                col_idx = jax.lax.broadcasted_iota(jnp.int32, (TH + 2, W), 1)
+                col_idx = jax.lax.broadcasted_iota(jnp.int32, a0.shape, 1)
                 ok = jnp.logical_and(ok, (col_idx % bw) < vw)
-            a0 = a0 * ok[:, :, None].astype(a0.dtype)
+            a0 = a0 * ok.astype(a0.dtype)
         win[:] = a0
 
     if not reflect:
@@ -827,7 +836,11 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     OTHER taps of w are statically zero, so neither forward nor backward
     spends MXU passes on them (the space-to-depth stride-2 route keeps 4
     of 9). Correctness does not depend on the claim inside the reference
-    path (full w is used there), but the Pallas path trusts it.
+    path (full w is used there), but the Pallas path trusts it. Gradient
+    contract: dw at DEAD taps is unspecified — exact zero on the Pallas
+    wgrad (those taps are never computed), the full-conv value on the XLA
+    fallback. Callers must obtain packed weights from a function whose VJP
+    discards dead-tap cotangents (pack_s2_weights does).
     seam (optional, (block_h, valid_h, block_w, valid_w)): x is a zero-seam
     fold canvas (ops/batch_fold.py); positions whose (row % block_h,
     col % block_w) fall outside the valid region are masked to zero
