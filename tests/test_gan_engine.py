@@ -95,103 +95,32 @@ def test_adv_weight_scales_adversarial_term():
                                gap / 2, rtol=1e-4)
 
 
-_FOLD_CFG = GANTrainConfig(factor=2, batch_size=4, hr_patch=64,
-                           residual_blocks_count=2)
-
-
-@pytest.fixture(scope="module")
-def fold_step_baseline():
-    """Shared default-path step result for the gate-combination params (the
-    baseline costs ~as much as each gated run; computing it once keeps the
-    file inside the suite's per-group time budget)."""
-    import optax
-    from tpusr.engine.gan import _train_step_core
-
-    # factor 2 at 64² patches: LR patches are (4,32,32,3), which both
-    # folded_d_supported and folded_g_supported admit
-    rng = np.random.default_rng(7)
-    lr_b = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
-    hr_b = jnp.asarray(rng.random((4, 64, 64, 3)) * 2 - 1, jnp.float32)
-    state = create_gan_state(jax.random.key(3), _FOLD_CFG, 1e-4)
-    # SGD, not Adam: Adam's normalization amplifies float-noise-level grad
-    # differences on near-zero-gradient entries to a full ±lr step (and D
-    # conv-bias grads are mathematically zero), which is not a routing
-    # property. With plain SGD the post-step params differ exactly by the
-    # gradient difference — the thing this test pins.
-    tx = optax.sgd(1.0)
-    for v in ("TPUSR_D_FOLD", "TPUSR_G_FOLD"):
-        assert not __import__("os").environ.get(v)
-    want_state, want_logs = _train_step_core(state, lr_b, hr_b, _FOLD_CFG,
-                                             tx, lambda a, b: jnp.mean(
-                                                 jnp.square(a - b)))
-    return state, tx, lr_b, hr_b, want_state, want_logs
-
-
-@pytest.mark.parametrize("gates", [("TPUSR_D_FOLD",),
-                                   ("TPUSR_D_FOLD=2i",),
-                                   ("TPUSR_G_FOLD",),
-                                   ("TPUSR_D_FOLD", "TPUSR_G_FOLD")])
-def test_folded_step_matches_default(monkeypatch, fold_step_baseline, gates):
-    """TPUSR_D_FOLD / TPUSR_G_FOLD =interpret route the D / G through the
-    folded zero-seam Pallas dataflows; one full train step must produce the
-    same updates, losses, and BN stats as the default flax path. Calls
-    _train_step_core directly: the env gates are read at trace time, so the
-    jitted wrapper's cache must not be shared across gate settings within
-    one process."""
-    from tpusr.engine.gan import _train_step_core
-
-    state, tx, lr_b, hr_b, want_state, want_logs = fold_step_baseline
-    monkeypatch.delenv("TPUSR_D_FOLD", raising=False)
-    monkeypatch.delenv("TPUSR_G_FOLD", raising=False)
-    for gate in gates:
-        name, _, val = gate.partition("=")
-        monkeypatch.setenv(name, val or "interpret")
-    got_state, got_logs = _train_step_core(state, lr_b, hr_b, _FOLD_CFG, tx,
-                                           lambda a, b: jnp.mean(
-                                               jnp.square(a - b)))
-    np.testing.assert_allclose(float(got_logs["loss_D"]),
-                               float(want_logs["loss_D"]), rtol=1e-4)
-    np.testing.assert_allclose(float(got_logs["loss_G"]),
-                               float(want_logs["loss_G"]), rtol=1e-4)
-    # Tolerance rationale (measured, see DESIGN.md "folded D"): the two
-    # paths' FORWARDS agree to f32-stat rounding (~1e-7 rel — both sum BN
-    # statistics in f32, in different orders), but the random-init D's
-    # GRADIENTS are chaotic at that perturbation scale: a 1e-8 input
-    # perturbation moves the flax path's own stem/block grads by 1e-3..2e-2
-    # (deep BN chains amplify micro-changes through var^{-3/2} backward
-    # terms). Exactness of the folded conv VJPs themselves is pinned to
-    # 1e-13 in tests/test_batch_fold.py; this test pins routing, losses,
-    # stats propagation, and grad agreement at the chaos floor.
-    for name, attr in (("params_D", "params_D"), ("stats_D", "stats_D"),
-                       ("params_G", "params_G")):
-        w = jax.tree_util.tree_leaves_with_path(getattr(want_state, attr))
-        g = dict(jax.tree_util.tree_leaves_with_path(getattr(got_state,
-                                                             attr)))
-        for path, leaf in w:
-            np.testing.assert_allclose(
-                np.asarray(g[path]), np.asarray(leaf), rtol=2e-2, atol=3e-2,
-                err_msg=f"{name}{jax.tree_util.keystr(path)}")
-
-
 def test_g_fuse_route_matches_default(monkeypatch):
-    """TPUSR_G_FUSE=1 (+TPUSR_CONV_FUSION=interpret on CPU) routes the G's
-    3x3 convs through the fused kernel on qualifying shapes; a full-image
-    eval forward must match the default banded-XLA path."""
-    from tpusr.engine.gan import _models
+    """Eval routes the G's 3x3 convs through the fused kernel BY DEFAULT on
+    qualifying shapes (with TPUSR_CONV_FUSION=interpret exercising the
+    kernel on CPU); the output must match the TPUSR_G_FUSE=0 banded-XLA
+    path. TPUSR_G_FUSE=train additionally fuses the training generator."""
+    from tpusr.engine.gan import _models, generator_forward
 
     cfg = GANTrainConfig(factor=4, residual_blocks_count=2)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
 
-    monkeypatch.delenv("TPUSR_G_FUSE", raising=False)
+    monkeypatch.setenv("TPUSR_G_FUSE", "0")
     g0, _ = _models(cfg)
     v = g0.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
-    want, _ = g0.apply(v, x, True, mutable=["batch_stats"])
+    want = generator_forward(v["params"], v["batch_stats"], x, cfg)
 
-    monkeypatch.setenv("TPUSR_G_FUSE", "1")
+    monkeypatch.delenv("TPUSR_G_FUSE", raising=False)
     monkeypatch.setenv("TPUSR_CONV_FUSION", "interpret")
+    got = generator_forward(v["params"], v["batch_stats"], x, cfg)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    monkeypatch.setenv("TPUSR_G_FUSE", "train")
     g1, _ = _models(cfg)
     assert g1.auto_fuse
-    got, _ = g1.apply(v, x, True, mutable=["batch_stats"])
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+    got_t, _ = g1.apply(v, x, True, mutable=["batch_stats"])
+    want_t, _ = g0.apply(v, x, True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                rtol=2e-4, atol=2e-4)

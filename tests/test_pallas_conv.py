@@ -193,35 +193,3 @@ def test_wide_image_2d_grid_act():
                         reflect=False, stats=False)
     np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
-
-
-def test_prelu_prologue_matches_reference():
-    """act='prelu' with a learned (1,) slope: fwd + all grads incl. dalpha
-    vs the XLA oracle (torch nn.PReLU semantics, models/layers.py:653)."""
-    rng = np.random.default_rng(3)
-    x = jnp.asarray(rng.standard_normal((1, 64, 128, 128)), jnp.float32)
-    w = jnp.asarray(rng.standard_normal((3, 3, 128, 128)) * 0.05, jnp.float32)
-    es = jnp.asarray(rng.uniform(0.5, 1.5, (128,)), jnp.float32)
-    eb = jnp.asarray(rng.standard_normal((128,)) * 0.1, jnp.float32)
-    al = jnp.asarray([0.25], jnp.float32)
-
-    y = fused_conv3x3(x, w, es, eb, act="prelu", prelu_alpha=al,
-                      pad_mode="zero", interpret=True)
-    yr, _ = _fused_ref(x, w, es, eb, affine=True, act="prelu",
-                       reflect=False, stats=False, alpha=al)
-    np.testing.assert_allclose(np.asarray(y), np.asarray(yr), atol=1e-4)
-
-    def loss(f):
-        return lambda x, w, es, eb, al: jnp.sum(jnp.square(
-            f(x, w, es, eb, al)))
-
-    g1 = jax.grad(loss(lambda x, w, es, eb, al: fused_conv3x3(
-        x, w, es, eb, act="prelu", prelu_alpha=al, pad_mode="zero",
-        interpret=True)), argnums=(0, 1, 2, 3, 4))(x, w, es, eb, al)
-    g2 = jax.grad(loss(lambda x, w, es, eb, al: _fused_ref(
-        x, w, es, eb, affine=True, act="prelu", reflect=False,
-        stats=False, alpha=al)[0]), argnums=(0, 1, 2, 3, 4))(x, w, es, eb,
-                                                             al)
-    for a, b in zip(g1, g2):
-        rel = float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
-        assert rel < 1e-4, rel

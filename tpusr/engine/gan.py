@@ -66,12 +66,13 @@ class GANTrainState(struct.PyTreeNode):
 
 
 def _models(config: GANTrainConfig) -> tuple[Generator, Discriminator]:
-    # EXPERIMENTAL, default off (TPUSR_G_FUSE=1): route the generator's 3x3
-    # convs through the fused Pallas kernel where shapes qualify (batch-1
-    # full-image eval; batched training convs fall through the n==1 gate).
-    # Measurement-gated: tools/ab_g_fuse.py.
+    # TPUSR_G_FUSE=train additionally routes the TRAINING generator's 3x3
+    # convs through the fused Pallas kernel where shapes qualify (measured
+    # neutral-to-slightly-negative at the reference train workload: 374.9
+    # vs ~394 patches/s, tools/ab_g_fuse.py — so off by default; eval
+    # defaults ON in generator_forward below, where it measured +19%).
     import os
-    g_fuse = os.environ.get("TPUSR_G_FUSE", "0") == "1"
+    g_fuse = os.environ.get("TPUSR_G_FUSE", "") == "train"
     return (
         Generator(factor=config.factor,
                   residual_blocks_count=config.residual_blocks_count,
@@ -128,46 +129,17 @@ def _train_step_core(
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]
 
-    # EXPERIMENTAL, default off (TPUSR_D_FOLD=1 / TPUSR_G_FOLD=1, or
-    # =interpret for CPU tests): run the discriminator / generator through
-    # the folded zero-seam Pallas dataflows (models/srgan_folded.py) — same
-    # math, golden-tested; the routing decision is measurement-gated by a
-    # full-step A/B on hardware (tools/ab_d_fold.py).
-    import os as _os
-    _fold = _os.environ.get("TPUSR_D_FOLD", "0")
-    _gfold = _os.environ.get("TPUSR_G_FOLD", "0")
-
     def d_apply(p, st, x, train=True):
-        if _fold != "0":
-            from tpusr.models.srgan_folded import (
-                discriminator_apply_folded, discriminator_apply_folded_v2,
-                folded_d_supported)
-            from tpusr.ops.pallas_conv import fused_conv_available
-            interp = _fold in ("interpret", "2i")
-            v2 = _fold in ("2", "2i")
-            if folded_d_supported(x.shape) and (interp
-                                                or fused_conv_available()):
-                fn = (discriminator_apply_folded_v2 if v2
-                      else discriminator_apply_folded)
-                return fn(p, st, x, train, dtype=config.dtype,
-                          interpret=interp)
         out, upd = d.apply({"params": p, "batch_stats": st}, x, train,
                            mutable=["batch_stats"])
         return out, upd["batch_stats"]
 
-    def g_apply_train(p, st, x):
-        if _gfold != "0":
-            from tpusr.models.srgan_folded import (
-                folded_g_supported, generator_apply_folded)
-            from tpusr.ops.pallas_conv import fused_conv_available
-            interp = _gfold in ("interpret", "2i")
-            if (folded_g_supported(x.shape, config.factor)
-                    and (interp or fused_conv_available())):
-                return generator_apply_folded(
-                    p, st, x, config.factor, config.residual_blocks_count,
-                    train=True, dtype=config.dtype, interpret=interp,
-                    chain=_gfold in ("2", "2i"))
-        return g_apply(p, st, x)
+    # Note (measured, DESIGN.md "the folding family verdict"): whole-D /
+    # whole-G zero-seam folded Pallas dataflows and per-conv batch folding
+    # were built, hardware-validated, and A/B'd at this step's reference
+    # workload — every variant LOST to the XLA batched convs (best folded D
+    # 259 vs 395 patches/s) and was pruned. The records live in DESIGN.md;
+    # the code is in git history (round-3 tags).
 
     # --- One generator forward, linearized (train_GAN.py:41 computes
     # `fake` ONCE per step and reuses it for both the D update and the G
@@ -177,7 +149,7 @@ def _train_step_core(
     # stat-update expressions differ — and applies the BN momentum update
     # twice per step, diverging from the reference's stats trajectory. ---
     def g_fwd(pg):
-        return g_apply_train(pg, state.stats_G, lr_patches)
+        return g_apply(pg, state.stats_G, lr_patches)
 
     fake, g_vjp, stats_G = jax.vjp(g_fwd, state.params_G, has_aux=True)
 
@@ -251,21 +223,18 @@ def generator_forward(
         out, _ = g.apply({"params": params_G, "batch_stats": stats_G},
                          lr_images, True, mutable=["batch_stats"])
         return out
-    # EXPERIMENTAL, default off (TPUSR_G_FUSE=2, =2i interpret): the fully
-    # prologue-chained fused eval forward (models/srgan_folded.py) — BN
-    # affines are static in eval, so conv+BN+PReLU chains run in-kernel.
+    # Eval routes the generator's 3x3 convs through the fused Pallas kernel
+    # BY DEFAULT where shapes qualify (batch-1 full-image; measured on
+    # hardware: 96.7 vs 81.4 MPix/s on the x8 eval bench, tools/ab_g_fuse.py
+    # — the fully-chained variant measured 93.7 and was pruned). Per-conv
+    # routing still gates on fused_conv_available/_supported inside Conv,
+    # so CPU and unsupported shapes fall back to the XLA path. TPUSR_G_FUSE=0
+    # opts out (e.g. to A/B, or under spatial shard_map where the per-shard
+    # shapes may not benefit); the param tree is identical either way.
     import os as _os
-    _gf = _os.environ.get("TPUSR_G_FUSE", "0")
-    if _gf in ("2", "2i"):
-        from tpusr.models.srgan_folded import (fused_g_eval_supported,
-                                               generator_apply_fused_eval)
-        from tpusr.ops.pallas_conv import fused_conv_available
-        interp = _gf == "2i"
-        if (fused_g_eval_supported(lr_images.shape, config.factor)
-                and (interp or fused_conv_available())):
-            return generator_apply_fused_eval(
-                params_G, stats_G, lr_images, config.factor,
-                config.residual_blocks_count, dtype=config.dtype,
-                interpret=interp)
+    if _os.environ.get("TPUSR_G_FUSE", "1") != "0" and not g.auto_fuse:
+        g = Generator(factor=config.factor,
+                      residual_blocks_count=config.residual_blocks_count,
+                      dtype=config.dtype, auto_fuse=True)
     return g.apply({"params": params_G, "batch_stats": stats_G},
                    lr_images, False)

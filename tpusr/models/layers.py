@@ -170,18 +170,6 @@ def conv_apply(x, kernel, stride: int, pad_mode: str):
             and (x.shape[0] == 1 or pad_mode == "zero")):
         return _conv3x3_thin(x, kernel, pad_mode)
 
-    # EXPERIMENTAL, default off (TPUSR_FOLD_BATCH=rows): route batched
-    # zero-pad k3 convs through the zero-seam row fold (ops/batch_fold.py)
-    # so batch-1-only fast paths (banding, Pallas) see them. Exactness is
-    # golden-tested; the routing decision is measurement-gated
-    # (tools/ab_fold_conv.py + a full-train-step A/B under this env var).
-    if (_os.environ.get("TPUSR_FOLD_BATCH") == "rows"
-            and x.ndim == 4 and x.shape[0] > 1 and k == 3
-            and pad_mode == "zero" and stride in (1, 2)
-            and (stride == 1 or x.shape[1] % 2 == 0)):
-        from tpusr.ops.batch_fold import folded_conv_apply
-        return folded_conv_apply(x, kernel, stride, pad_mode)
-
     return _conv_apply_base(x, kernel, stride, pad_mode)
 
 

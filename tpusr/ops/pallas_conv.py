@@ -8,29 +8,29 @@ several whole-tensor passes per conv. This kernel collapses the block to
 ONE read and ONE write per conv:
 
   * prologue (VPU, on the input tile in VMEM): optional per-channel affine
-    (the BN normalize folded to eff_scale/eff_bias) + optional activation
-    (LeakyReLU(0.2), or PReLU with the learned slope as a (1,) operand) —
-    the elementwise tail of the PREVIOUS conv block;
-  * optional in-kernel zero-seam canvas masking (`seam=(bh,vh,bw,vw)`,
-    iota row/col masks): the folded batch dataflows (ops/batch_fold.py,
-    models/srgan_folded.py) chain whole conv stacks with no inter-layer
-    elementwise passes;
+    (the BN normalize folded to eff_scale/eff_bias) + optional
+    LeakyReLU(0.2) — the elementwise tail of the PREVIOUS conv block;
   * halo handling in the DMA/index path: reflect ('reflection', parity with
     models/DIP/utils.py:96-102) or zero padding never materializes a padded
     copy in HBM;
-  * 3x3 conv as MXU matmuls accumulated in f32 over a STATIC tap subset
-    (default all 9; the space-to-depth stride-2 route keeps 4 of 9 with
-    K=4C), tap-grouped onto full 128-wide passes for small C;
-  * epilogue: per-channel sum / sum-of-squares partials of the OUTPUT
-    (seam-exact under a seam spec) — the batch statistics the next
-    BatchNorm needs, so its separate reduction pass disappears.
+  * 3x3 conv as 9 MXU matmuls accumulated in f32, tap-grouped onto full
+    128-wide passes for small C;
+  * epilogue: per-channel sum / sum-of-squares partials of the OUTPUT —
+    the batch statistics the next BatchNorm needs, so its separate
+    reduction pass disappears.
 
 Training rides a custom VJP (pallas_call has no autodiff rule): dgrad is
-the same kernel shape with flipped weights (mirrored tap subset) over the
-output cotangent plus the prologue's local derivative; wgrad accumulates
-the live tap GEMMs transposed, falling back to XLA alone when its dw
-block exceeds VMEM. 32/64-channel operands ride lane-padded through both
-directions (small Cout pads the cotangent side).
+the same kernel shape with flipped weights over the output cotangent plus
+the prologue's local derivative; wgrad accumulates the 9 tap GEMMs
+transposed, falling back to XLA alone when its dw block exceeds VMEM.
+32/64-channel operands ride lane-padded through both directions (small
+Cout pads the cotangent side).
+
+(Removed after round-3 hardware A/Bs — see DESIGN.md "the folding family
+verdict" and git history: static tap subsets, in-kernel zero-seam canvas
+masking, and the PReLU prologue existed for the batched zero-seam folded
+dataflows, which measured slower than XLA's batched convs at the full
+train step and were pruned.)
 
 Only the shapes that dominate the profile go through Pallas (batch 1,
 k=3, C multiples of the 128-lane tile or 32/64); everything else falls
@@ -47,9 +47,6 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-
-_ALL_TAPS = (0, 1, 2, 3, 4, 5, 6, 7, 8)
 
 
 def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int,
@@ -72,9 +69,9 @@ def _pick_tile_h(H: int, W: int, Cin: int, Cout: int, isz: int,
     return 0
 
 
-def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
+def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, *refs,
                 TH, H, W, Cin, RC, reflect, affine, act, stats, C0=None,
-                has_base=False, taps=_ALL_TAPS, seam=None):
+                has_base=False):
     if has_base:
         # base: an already-computed (1,H,W,Cout) partial sum (e.g. the thin
         # skip part of a SplitConv, or a residual-block input) added
@@ -128,7 +125,7 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
                 win[TH + 1] = win[TH - 1]
 
     # --- prologue: previous block's BN-affine + activation (in place) ---
-    if affine or act or seam is not None:
+    if affine or act:
         a0 = win[:]
         if affine:
             a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
@@ -137,40 +134,6 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
             # this target; maximum/minimum do, and the math is identical.
             zero = jnp.zeros((), a0.dtype)
             a0 = jnp.maximum(a0, zero) + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero)
-        elif act == "prelu":
-            # torch nn.PReLU: one learned slope, passed as a (1,) operand
-            zero = jnp.zeros((), a0.dtype)
-            a0 = (jnp.maximum(a0, zero)
-                  + ap_ref[0].astype(a0.dtype) * jnp.minimum(a0, zero))
-        if seam is not None:
-            # Zero-seam canvas masking IN-KERNEL (the folded dataflows,
-            # ops/batch_fold.py): canvas rows/cols beyond each cell's valid
-            # region carry garbage (cross-image mixes from the previous
-            # folded conv) and must read as zero — post-prologue, because
-            # affine(garbage) is still garbage and affine(0)=eff_bias must
-            # not leak either. Masking here replaces a whole-canvas
-            # elementwise HBM pass per layer. Row indices are global canvas
-            # rows (this window starts at i*TH-1, clamped at the edges).
-            bh, vh, bw, vw = seam
-            # win row r holds canvas row i*TH - 1 + r at every grid
-            # position (at i==0 the copy shifts by one and row 0 is the
-            # halo: canvas row -1 -> (-1 % bh) = bh-1 >= vh -> masked,
-            # which matches its zero-halo value; halo rows are re-zeroed
-            # after the prologue regardless)
-            # Masks are built at the full 3-D value shape: Mosaic cannot
-            # insert a minor dim on an i1 vector ("Insertion of minor dim
-            # that is not a no-op only supported for 32-bit types", measured
-            # on v5e), but an i1 compare -> dtype convert at full shape
-            # lowers fine (the pallas_dense row-mask pattern).
-            row_idx = (jax.lax.broadcasted_iota(jnp.int32, a0.shape, 0)
-                       + i * TH - 1)
-            ok = (row_idx % bh) < vh
-            if vw < bw:
-                col_idx = jax.lax.broadcasted_iota(jnp.int32, a0.shape, 1)
-                if C0 is not None:
-                    col_idx = col_idx + C0
-                ok = jnp.logical_and(ok, (col_idx % bw) < vw)
-            a0 = a0 * ok.astype(a0.dtype)
         win[:] = a0
 
     if not reflect:
@@ -202,15 +165,13 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
     ar = jnp.concatenate([am[:, 1:], rcol], axis=1)       # column dx = +1
 
     # --- 3x3 conv on the MXU, f32 accumulation ---
-    # w_ref is (T, Cin, Cout) over the STATIC tap subset `taps` (t = 3*dy+dx;
-    # the default is all 9 — a subset skips statically-zero taps, e.g. the
-    # space-to-depth stride-2 route's 4 live taps). For Cin < 128 the K dim
+    # w_ref is (9, Cin, Cout) by tap (t = 3*dy+dx). For Cin < 128 the K dim
     # of a per-tap matmul wastes the systolic array (Cin=32 fills 1/4), so
     # taps are GROUPED: 128//Cin shifted inputs lane-concatenated to a
-    # 128-wide patch, matched by stacking the kernel rows — ceil(T*C/128)
-    # MXU passes instead of T (2.5x fewer for C=32).
+    # 128-wide patch, matched by stacking the kernel rows — ceil(9C/128)
+    # MXU passes instead of 9 (2.5x fewer for C=32).
     dn = (((2,), (0,)), ((), ()))  # contract channel dim
-    tap_srcs = [(t // 3, (al, am, ar)[t % 3]) for t in taps]
+    tap_srcs = [(t // 3, (al, am, ar)[t % 3]) for t in range(9)]
     g = max(1, 128 // RC) if RC < 128 else 1
     acc = jnp.zeros((TH, W, w_ref.shape[-1]), jnp.float32)
     for t0 in range(0, len(tap_srcs), g):
@@ -231,34 +192,12 @@ def _fwd_kernel(x_hbm, w_ref, es_ref, eb_ref, ap_ref, *refs,
     y = acc[None]
     y_ref[:] = y.astype(y_ref.dtype)
     if stats:
-        if seam is not None:
-            # seam-exact statistics: output rows/cols beyond each cell's
-            # valid region mix neighboring images — exclude them here so
-            # the BatchNorm consumes valid-only sums directly (replaces
-            # the fold_stats_correct partial pass outside). The output
-            # block covers canvas rows [i*TH, i*TH+TH); out geometry ==
-            # the kernel-visible input canvas geometry (stride 1).
-            bh, vh, bw, vw = seam
-            # full 3-D iota masks — see the prologue mask note (Mosaic
-            # rejects minor-dim inserts on i1 vectors)
-            osh = (TH, W, w_ref.shape[-1])
-            orow = jax.lax.broadcasted_iota(jnp.int32, osh, 0) + i * TH
-            ook = (orow % bh) < vh
-            if vw < bw:
-                ocol = jax.lax.broadcasted_iota(jnp.int32, osh, 1)
-                if C0 is not None:
-                    ocol = ocol + C0
-                ook = jnp.logical_and(ook, (ocol % bw) < vw)
-            m = ook.astype(jnp.float32)[None]
-            stat_ref[0, 0] = jnp.sum(y * m, axis=(0, 1, 2))
-            stat_ref[0, 1] = jnp.sum(jnp.square(y) * m, axis=(0, 1, 2))
-        else:
-            stat_ref[0, 0] = jnp.sum(y, axis=(0, 1, 2))
-            stat_ref[0, 1] = jnp.sum(jnp.square(y), axis=(0, 1, 2))
+        stat_ref[0, 0] = jnp.sum(y, axis=(0, 1, 2))
+        stat_ref[0, 1] = jnp.sum(jnp.square(y), axis=(0, 1, 2))
 
 
-def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                     taps=_ALL_TAPS, seam=None, alpha=None):
+def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats,
+                     interpret):
     """W > 1024: column overlap-discard onto the fast 1-D banded kernel.
 
     Supersedes _fwd_pallas_2d on the auto route (round 2 measured the 2-D
@@ -283,16 +222,14 @@ def _fwd_pallas_cols(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         ir = min(W, -(-(o1 + 1) // 8) * 8)
         y, _ = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                            reflect=reflect, stats=False,
-                           interpret=interpret, col_win=(il, ir - il),
-                           taps=taps, seam=seam, alpha=alpha)
+                           interpret=interpret, col_win=(il, ir - il))
         outs.append(y[:, :, o0 - il : o1 - il])
         o0 = o1
     return jnp.concatenate(outs, axis=2), None
 
 
 def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
-                col_win=None, base=None, taps=_ALL_TAPS, seam=None,
-                alpha=None):
+                col_win=None, base=None):
     _, H, W, Cin = x.shape
     Cout = w.shape[-1]
     RC = w.shape[2]  # logical input channels; x may carry 128-lane padding
@@ -303,12 +240,10 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         if stats or base is not None:  # column windows don't stitch these
             xl = x if RC == Cin else x[..., :RC]
             return _fused_ref(xl, w, es, eb, affine=affine, act=act,
-                              reflect=reflect, stats=stats, base=base,
-                              seam=seam, alpha=alpha)
+                              reflect=reflect, stats=stats, base=base)
         return _fwd_pallas_cols(x, w, es, eb, affine=affine, act=act,
                                 reflect=reflect, stats=stats,
-                                interpret=interpret, taps=taps, seam=seam,
-                                alpha=alpha)
+                                interpret=interpret)
     TH = _pick_tile_h(H, W, Cin, Cout, x.dtype.itemsize,
                       has_base=base is not None)
     if TH == 0:  # nothing fits VMEM at this width — XLA reference path
@@ -316,13 +251,12 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         if C0 is not None:
             xl = xl[:, :, C0 : C0 + W]
         return _fused_ref(xl, w, es, eb, affine=affine, act=act,
-                          reflect=reflect, stats=stats, base=base,
-                          seam=seam, alpha=alpha)
+                          reflect=reflect, stats=stats, base=base)
     n = H // TH
     kern = functools.partial(
         _fwd_kernel, TH=TH, H=H, W=W, Cin=Cin, RC=RC,
         reflect=reflect, affine=affine, act=act, stats=stats, C0=C0,
-        has_base=base is not None, taps=taps, seam=seam)
+        has_base=base is not None)
     out_shapes = [jax.ShapeDtypeStruct((1, H, W, Cout), x.dtype),
                   jax.ShapeDtypeStruct((n, 2, Cout), jnp.float32)]
     out_specs = [
@@ -336,13 +270,8 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
         pl.BlockSpec(memory_space=pltpu.VMEM),  # w (T, Cin, Cout)
         pl.BlockSpec(memory_space=pltpu.VMEM),  # es
         pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
-        pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha (PReLU slope)
     ]
-    w9 = w.reshape(9, RC, Cout)
-    if taps != _ALL_TAPS:  # static subset: statically-zero taps never load
-        w9 = jnp.stack([w9[t] for t in taps])
-    operands = [x, w9, es, eb,
-                alpha if alpha is not None else jnp.zeros((1,), jnp.float32)]
+    operands = [x, w.reshape(9, RC, Cout), es, eb]
     if base is not None:
         in_specs.append(pl.BlockSpec((1, TH, W, Cout), lambda i: (0, i, 0, 0),
                                      memory_space=pltpu.VMEM))
@@ -365,9 +294,8 @@ def _fwd_pallas(x, w, es, eb, *, affine, act, reflect, stats, interpret,
 
 
 # ------------------------------------------------------------ wgrad kernel
-def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, ap_ref, dw_ref, win, sem, *,
-                  TH, H, W, Cin, reflect, affine, act, taps=_ALL_TAPS,
-                  seam=None):
+def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, dw_ref, win, sem, *,
+                  TH, H, W, Cin, reflect, affine, act):
     """dw[t] += patch_t(act(affine(x)))^T @ G per row tile.
 
     Same halo/prologue structure as _fwd_kernel (the wgrad's input padding
@@ -406,7 +334,7 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, ap_ref, dw_ref, win, sem, *,
             if reflect:
                 win[TH + 1] = win[TH - 1]
 
-    if affine or act or seam is not None:
+    if affine or act:
         a0 = win[:]
         if affine:
             a0 = a0 * es_ref[:].astype(a0.dtype) + eb_ref[:].astype(a0.dtype)
@@ -414,23 +342,6 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, ap_ref, dw_ref, win, sem, *,
             zero = jnp.zeros((), a0.dtype)
             a0 = (jnp.maximum(a0, zero)
                   + jnp.asarray(0.2, a0.dtype) * jnp.minimum(a0, zero))
-        elif act == "prelu":
-            zero = jnp.zeros((), a0.dtype)
-            a0 = (jnp.maximum(a0, zero)
-                  + ap_ref[0].astype(a0.dtype) * jnp.minimum(a0, zero))
-        if seam is not None:
-            # same in-kernel canvas masking as the forward (the wgrad's
-            # prologue recompute must see the identical masked input)
-            bh, vh, bw, vw = seam
-            # full 3-D iota masks — see the fwd prologue mask note (Mosaic
-            # rejects minor-dim inserts on i1 vectors)
-            row_idx = (jax.lax.broadcasted_iota(jnp.int32, a0.shape, 0)
-                       + i * TH - 1)
-            ok = (row_idx % bh) < vh
-            if vw < bw:
-                col_idx = jax.lax.broadcasted_iota(jnp.int32, a0.shape, 1)
-                ok = jnp.logical_and(ok, (col_idx % bw) < vw)
-            a0 = a0 * ok.astype(a0.dtype)
         win[:] = a0
 
     if not reflect:
@@ -458,30 +369,27 @@ def _wgrad_kernel(x_hbm, g_ref, es_ref, eb_ref, ap_ref, dw_ref, win, sem, *,
 
     g2 = g_ref[0].reshape(TH * W, g_ref.shape[-1])
     # contract the TH*W dim: (N, Cin)^T @ (N, Cout) — K=TH*W fills the MXU.
-    # dw_ref is (T, Cin, Cout) over the static tap subset; skipped taps'
-    # cotangents are structurally zero (the caller scatters zeros).
     dn = (((0,), (0,)), ((), ()))
-    for p, t in enumerate(taps):
+    for t in range(9):
         dy, src = t // 3, (al, am, ar)[t % 3]
         patch = src[dy:dy + TH].reshape(TH * W, Cin)
         part = jax.lax.dot_general(patch, g2, dn,
                                    preferred_element_type=jnp.float32)
         if nprog == 1:
-            dw_ref[p] = part
+            dw_ref[t] = part
         else:
             @pl.when(i == 0)
-            def _(part=part, p=p):
-                dw_ref[p] = part
+            def _(part=part, t=t):
+                dw_ref[t] = part
 
             @pl.when(i > 0)
-            def _(part=part, p=p):
-                dw_ref[p] = dw_ref[p] + part
+            def _(part=part, t=t):
+                dw_ref[t] = dw_ref[t] + part
 
 
-def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int,
-                     n_taps: int = 9) -> int:
+def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int) -> int:
     """wgrad-specific VMEM budget: no (TH,W,Cout) accumulator/output blocks
-    (dw is a tiny revisited (n_taps,Cin,Cout) block), so the row tile can be
+    (dw is a tiny revisited (9,Cin,Cout) block), so the row tile can be
     2x the forward's — measured 1.17 -> 0.99 ms at (512,512,128->128) bf16
     (fewer grid programs: half the DMA waits and dw accumulation passes).
     Returns 0 when nothing fits (e.g. huge packed-channel dw blocks) — the
@@ -492,29 +400,23 @@ def _pick_tile_wgrad(H: int, W: int, Cin: int, Cout: int, isz: int,
             continue
         win = (th + 2) * W * max(Cin, 128) * isz
         gblk = th * W * max(Cout, 128) * isz
-        dw = n_taps * max(Cin, 128) * max(Cout, 128) * 4
+        dw = 9 * max(Cin, 128) * max(Cout, 128) * 4
         if 3 * win + gblk + dw <= budget:
             return th
     return 0
 
 
-def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
-                  taps=_ALL_TAPS, seam=None, alpha=None):
-    """(3, 3, Cin, Cout) f32 kernel cotangent via the wgrad kernel.
-
-    With a tap subset, only the live taps are computed; the rest come back
-    as exact zeros (their forward weights are statically zero, so whatever
-    cotangent they carry is discarded by the caller's weight-packing VJP)."""
+def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret):
+    """(3, 3, Cin, Cout) f32 kernel cotangent via the wgrad kernel."""
     _, H, W, Cin = x.shape
     Cout = g.shape[-1]
-    T = len(taps)
-    TH = _pick_tile_wgrad(H, W, Cin, Cout, x.dtype.itemsize, n_taps=T)
+    TH = _pick_tile_wgrad(H, W, Cin, Cout, x.dtype.itemsize)
     if TH == 0:
         return None
     n = H // TH
     kern = functools.partial(
         _wgrad_kernel, TH=TH, H=H, W=W, Cin=Cin,
-        reflect=reflect, affine=affine, act=act, taps=taps, seam=seam)
+        reflect=reflect, affine=affine, act=act)
     dwT = pl.pallas_call(
         kern,
         grid=(n,),
@@ -524,54 +426,33 @@ def _wgrad_pallas(x, g, es, eb, *, affine, act, reflect, interpret,
                          memory_space=pltpu.VMEM),  # G, aligned blocks
             pl.BlockSpec(memory_space=pltpu.VMEM),  # es
             pl.BlockSpec(memory_space=pltpu.VMEM),  # eb
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # alpha (PReLU slope)
         ],
-        out_shape=jax.ShapeDtypeStruct((T, Cin, Cout), jnp.float32),
-        out_specs=pl.BlockSpec((T, Cin, Cout), lambda i: (0, 0, 0),
+        out_shape=jax.ShapeDtypeStruct((9, Cin, Cout), jnp.float32),
+        out_specs=pl.BlockSpec((9, Cin, Cout), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((TH + 2, W, Cin), x.dtype),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(x, g, es, eb,
-      alpha if alpha is not None else jnp.zeros((1,), jnp.float32))
-    if taps == _ALL_TAPS:
-        return dwT.reshape(3, 3, Cin, Cout)
-    dw9 = jnp.zeros((9, Cin, Cout), jnp.float32)
-    for p, t in enumerate(taps):
-        dw9 = dw9.at[t].set(dwT[p])
-    return dw9.reshape(3, 3, Cin, Cout)
+    )(x, g, es, eb)
+    return dwT.reshape(3, 3, Cin, Cout)
 
 
 # ---------------------------------------------------------------- reference
-def _seam_mask_hw(H, W, seam, dtype):
-    """(1,H,W,1) 0/1 canvas-validity mask for a (bh, vh, bw, vw) seam spec
-    (XLA level; the kernels compute the same mask from iotas in VMEM)."""
-    bh, vh, bw, vw = seam
-    r = jnp.arange(H) % bh < vh
-    c = jnp.arange(W) % bw < vw
-    return (r[:, None] & c[None, :])[None, :, :, None].astype(dtype)
-
-
-def _prologue_ref(x, es, eb, affine, act, seam=None, alpha=None):
+def _prologue_ref(x, es, eb, affine, act):
     a = x
     if affine:
         a = a * es.astype(a.dtype) + eb.astype(a.dtype)
     if act == "leaky_relu":
         a = jnp.where(a >= 0, a, 0.2 * a)
-    elif act == "prelu":
-        a = jnp.where(a >= 0, a, alpha.astype(a.dtype) * a)
-    if seam is not None:
-        a = a * _seam_mask_hw(a.shape[1], a.shape[2], seam, a.dtype)
     return a
 
 
-def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None,
-               seam=None, alpha=None):
+def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None):
     """Pure-XLA reference implementation (used for the custom-VJP backward
     and as the numerical oracle in tests)."""
-    a = _prologue_ref(x, es, eb, affine, act, seam, alpha)
+    a = _prologue_ref(x, es, eb, affine, act)
     mode = "reflect" if reflect else "constant"
     ap = jnp.pad(a, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
     y = jax.lax.conv_general_dilated(
@@ -581,35 +462,31 @@ def _fused_ref(x, w, es, eb, *, affine, act, reflect, stats, base=None,
         y = y + base.astype(y.dtype)
     if stats:
         y32 = y.astype(jnp.float32)
-        ym = y32
-        if seam is not None:
-            ym = y32 * _seam_mask_hw(y.shape[1], y.shape[2], seam,
-                                     jnp.float32)
-        s = jnp.sum(ym, axis=(0, 1, 2))
-        ss = jnp.sum(ym * y32, axis=(0, 1, 2))  # (M·y)² == M·y² for 0/1 M
+        s = jnp.sum(y32, axis=(0, 1, 2))
+        ss = jnp.sum(jnp.square(y32), axis=(0, 1, 2))
         return y, jnp.stack([s, ss])
     return y, None
 
 
 # ---------------------------------------------------------------- custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
-def _fused_conv(x, w, es, eb, base, alpha, affine, act, reflect, stats,
-                interpret, taps, seam):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _fused_conv(x, w, es, eb, base, affine, act, reflect, stats,
+                interpret):
     y, st = _fwd_pallas(x, w, es, eb, affine=affine, act=act,
                         reflect=reflect, stats=stats, interpret=interpret,
-                        base=base, taps=taps, seam=seam, alpha=alpha)
+                        base=base)
     return (y, st) if stats else y
 
 
-def _fused_conv_fwd(x, w, es, eb, base, alpha, affine, act, reflect, stats,
-                    interpret, taps, seam):
-    out = _fused_conv(x, w, es, eb, base, alpha, affine, act, reflect,
-                      stats, interpret, taps, seam)
+def _fused_conv_fwd(x, w, es, eb, base, affine, act, reflect, stats,
+                    interpret):
+    out = _fused_conv(x, w, es, eb, base, affine, act, reflect,
+                      stats, interpret)
     y = out[0] if stats else out
     # y rides the residuals only for the stats cotangent (sum/sum² backprop
     # needs the primal output); it is already materialized in HBM. base
     # rides only for its pytree None-ness (db must mirror its structure).
-    return out, (x, w, es, eb, y if stats else None, base, alpha)
+    return out, (x, w, es, eb, y if stats else None, base)
 
 
 def _reflect_fold_corrections(dpa, G, wd):
@@ -649,8 +526,7 @@ def _reflect_fold_corrections(dpa, G, wd):
     return dpa
 
 
-def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
-                    g):
+def _fused_conv_bwd(affine, act, reflect, stats, interpret, res, g):
     """NOTE: nondiff args arrive first in custom_vjp order."""
     """Hand-built backward: exactly one dgrad conv + one wgrad conv + fused
     elementwise — no forward recompute. When shapes allow, BOTH convs run
@@ -664,20 +540,15 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
 
     The base input (if any) is a straight add-through: its cotangent is the
     combined output cotangent G (incl. the stats sum/sum² terms)."""
-    x, w, es, eb, y, base, alpha = res
+    x, w, es, eb, y, base = res
     pad_c = x.shape[-1] - w.shape[2]  # lane padding on the operand (small-C)
     xp = x  # physical (possibly lane-padded) operand for the Pallas kernels
     if pad_c:
         x = x[..., :w.shape[2]]
     if stats:
         gy, gst = g
-        # y-stats cotangent: d(sum)/dy = 1, d(sum²)/dy = 2y, both f32 in
-        # fwd; with a seam spec the stats excluded the seam region, so its
-        # positions carry no stats cotangent
+        # y-stats cotangent: d(sum)/dy = 1, d(sum²)/dy = 2y, both f32 in fwd
         stat_term = gst[0] + 2.0 * y.astype(jnp.float32) * gst[1]
-        if seam is not None:
-            stat_term = stat_term * _seam_mask_hw(
-                y.shape[1], y.shape[2], seam, jnp.float32)
         G = (gy.astype(jnp.float32) + stat_term).astype(gy.dtype)
     else:
         G = g
@@ -694,20 +565,9 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
         pa = jnp.where(a0 >= 0, a0, 0.2 * a0)
         aprime = jnp.where(a0 >= 0, jnp.asarray(1.0, x.dtype),
                            jnp.asarray(0.2, x.dtype))
-    elif act == "prelu":
-        av = alpha.astype(x.dtype)
-        pa = jnp.where(a0 >= 0, a0, av * a0)
-        aprime = jnp.where(a0 >= 0, jnp.asarray(1.0, x.dtype), av)
     else:
         pa = a0
         aprime = None
-    if seam is not None:
-        # forward masked the post-prologue canvas in-kernel: the XLA-side
-        # primal/adjoint pieces must see the same mask
-        M = _seam_mask_hw(x.shape[1], x.shape[2], seam, x.dtype)
-        pa = pa * M
-    else:
-        M = None
 
     mode = "reflect" if reflect else "constant"
     dn = ("NHWC", "HWIO", "NHWC")
@@ -731,9 +591,6 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
                  and _pick_tile_h(H, W, Ci, Co, x.dtype.itemsize) > 0)
 
     w_rot = wd[::-1, ::-1].transpose(0, 1, 3, 2)  # (3,3,Cout,Cin)
-    # rotation maps tap t -> 8-t: the dgrad kernel's live taps are the
-    # forward subset mirrored through the center
-    rot_taps = tuple(sorted(8 - t for t in taps))
     dpa = dw = None
     if pallas_ok:
         Gp = (jnp.pad(G, ((0, 0),) * 3 + ((0, pad_g),)) if pad_g else G)
@@ -744,8 +601,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
         w_rot_p = (jnp.pad(w_rot, ((0, 0),) * 3 + ((0, pad_c),)) if pad_c
                    else w_rot)
         dpa, _ = _fwd_pallas(Gp, w_rot_p, es, eb, affine=False, act=None,
-                             reflect=False, stats=False, interpret=interpret,
-                             taps=rot_taps)
+                             reflect=False, stats=False, interpret=interpret)
         if pad_c:
             dpa = dpa[..., :Ci]
         if reflect:
@@ -754,8 +610,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
         # with Cin*Cout — packed-channel convs can exceed the budget even
         # when the dgrad side fits); fall back per-operand, not per-conv.
         dwp = _wgrad_pallas(xp, Gp, es, eb, affine=affine, act=act,
-                            reflect=reflect, interpret=interpret, taps=taps,
-                            seam=seam, alpha=alpha)
+                            reflect=reflect, interpret=interpret)
         if dwp is not None:
             dw = dwp[:, :, :Ci, :Co].astype(wd.dtype)
     if dpa is None:
@@ -786,18 +641,8 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
             conv_in_w, jax.ShapeDtypeStruct(wd.shape, wd.dtype))(G)
 
     # prologue backward
-    if M is not None:
-        # forward: y = conv(M·act(affine(x))) — the mask factors into every
-        # pre-mask cotangent (fuses into the same elementwise pass)
-        dpa = dpa * M
-    dalpha = None
     if aprime is not None:
         dpre = dpa * aprime
-        if act == "prelu":
-            dalpha = jnp.sum(dpa.astype(jnp.float32)
-                             * jnp.minimum(a0, 0).astype(jnp.float32),
-                             keepdims=True).reshape(alpha.shape
-                                                    ).astype(alpha.dtype)
     else:
         dpre = dpa
     if affine:
@@ -816,7 +661,7 @@ def _fused_conv_bwd(affine, act, reflect, stats, interpret, taps, seam, res,
     if pad_c:
         dx = jnp.pad(dx, ((0, 0), (0, 0), (0, 0), (0, pad_c)))
     db = None if base is None else G.astype(base.dtype)
-    return dx, dw, des, deb, db, dalpha
+    return dx, dw, des, deb, db
 
 
 _fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
@@ -824,7 +669,7 @@ _fused_conv.defvjp(_fused_conv_fwd, _fused_conv_bwd)
 
 def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
                   pad_mode="reflection", stats=False, interpret=False,
-                  base=None, taps=None, seam=None, prelu_alpha=None):
+                  base=None):
     """y = conv3x3(act(x*eff_scale+eff_bias)) [+ base] with in-kernel halos.
 
     x: (1,H,W,Cin) bf16/f32; w: (3,3,RC,Cout) with RC <= Cin. Returns y or
@@ -832,22 +677,6 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     base (optional, (1,H,W,Cout)): a precomputed partial sum added in-VMEM
     before the stats epilogue — the SplitConv merge path feeds its thin
     skip part here so the epilogue reduces the FINAL merged output.
-    taps (optional, tuple of tap indices t = 3*dy+dx): declares that all
-    OTHER taps of w are statically zero, so neither forward nor backward
-    spends MXU passes on them (the space-to-depth stride-2 route keeps 4
-    of 9). Correctness does not depend on the claim inside the reference
-    path (full w is used there), but the Pallas path trusts it. Gradient
-    contract: dw at DEAD taps is unspecified — exact zero on the Pallas
-    wgrad (those taps are never computed), the full-conv value on the XLA
-    fallback. Callers must obtain packed weights from a function whose VJP
-    discards dead-tap cotangents (pack_s2_weights does).
-    seam (optional, (block_h, valid_h, block_w, valid_w)): x is a zero-seam
-    fold canvas (ops/batch_fold.py); positions whose (row % block_h,
-    col % block_w) fall outside the valid region are masked to zero
-    IN-KERNEL post-prologue (they carry cross-image garbage from the
-    previous folded conv), and the stats epilogue excludes them — so the
-    folded dataflows need no per-layer elementwise masking pass and no
-    fold_stats_correct. Zero-pad only.
     Differentiable via custom VJP. Callers gate on `fused_conv_supported`.
 
     Small-C convention: Mosaic cannot DMA-slice lane-padded (<128 ch) HBM
@@ -858,15 +687,6 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
     at the value level and tap-groups 128//RC shifted windows per MXU pass.
     """
     affine = eff_scale is not None
-    tap_t = _ALL_TAPS if taps is None else tuple(taps)
-    if seam is not None:
-        assert pad_mode == "zero", "seam masking is for zero-seam canvases"
-        seam = tuple(seam)
-    if act == "prelu":
-        # torch nn.PReLU's single learned slope as a (1,) traced operand
-        assert prelu_alpha is not None and prelu_alpha.shape == (1,)
-    else:
-        assert prelu_alpha is None, "prelu_alpha is only read by act='prelu'"
     Cin = x.shape[-1]
     Cout = w.shape[-1]
     RC = w.shape[2]
@@ -898,16 +718,15 @@ def fused_conv3x3(x, w, eff_scale=None, eff_bias=None, *, act=None,
         # only without a prologue (affine(0)=eff_bias would leak into the
         # halo) and without stats (they would count the pad rows).
         assert (pad_mode == "zero" and not affine and act is None
-                and not stats and base is None and seam is None), \
+                and not stats and base is None), \
             "H%8 row-padding requires a plain zero-pad conv"
         hp = (8 - H % 8)
         xp = jnp.pad(x, ((0, 0), (0, hp), (0, 0), (0, 0)))
-        y = _fused_conv(xp, w, eff_scale, eff_bias, None, None, affine, act,
-                        False, False, interpret, tap_t, None)
+        y = _fused_conv(xp, w, eff_scale, eff_bias, None, affine, act,
+                        False, False, interpret)
         return y[:, :H]
-    return _fused_conv(x, w, eff_scale, eff_bias, base, prelu_alpha, affine,
-                       act, pad_mode == "reflection", stats, interpret,
-                       tap_t, seam)
+    return _fused_conv(x, w, eff_scale, eff_bias, base, affine,
+                       act, pad_mode == "reflection", stats, interpret)
 
 
 def fused_conv_supported(x_shape, k: int, stride: int,
