@@ -124,3 +124,56 @@ def test_g_fuse_route_matches_default(monkeypatch):
     want_t, _ = g0.apply(v, x, True, mutable=["batch_stats"])
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(want_t),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_d_concat_matches_sequential_calls(monkeypatch):
+    """stat_groups=2 over concat(real, fake) must equal the reference's two
+    sequential D applications (train_GAN.py:44-48): identical logits and
+    identical post-step running statistics (composed momentum update)."""
+    from tpusr.models.srgan import Discriminator
+
+    d = Discriminator()
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.normal(0, 0.5, (4, 32, 32, 3)), jnp.float32)
+    fake = jnp.asarray(rng.normal(0, 0.5, (4, 32, 32, 3)), jnp.float32)
+    v = d.init(jax.random.key(0), jnp.zeros((1, 32, 32, 3)))
+    p, st = v["params"], v["batch_stats"]
+
+    rl, u1 = d.apply({"params": p, "batch_stats": st}, real, True,
+                     mutable=["batch_stats"])
+    fl, u2 = d.apply({"params": p, "batch_stats": u1["batch_stats"]}, fake,
+                     True, mutable=["batch_stats"])
+    bl, uc = d.apply({"params": p, "batch_stats": st},
+                     jnp.concatenate([real, fake], 0), True, 2,
+                     mutable=["batch_stats"])
+
+    np.testing.assert_allclose(np.asarray(jnp.concatenate([rl, fl], 0)),
+                               np.asarray(bl), rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(u2["batch_stats"]),
+                    jax.tree.leaves(uc["batch_stats"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_d_concat_step_matches_sequential_step(monkeypatch):
+    """The concat-D train step (TPUSR_D_CONCAT=1, default) must produce the
+    same losses and D running stats as the sequential two-call form.
+    Post-Adam params are NOT compared: D gradients at random init amplify
+    f32 reduction reassociation chaotically (measured; DESIGN.md 'random-init
+    D gradients are chaotic')."""
+    lr, hr = _batch()
+    state = create_gan_state(jax.random.key(7), CFG, 1e-4)
+
+    monkeypatch.setenv("TPUSR_D_CONCAT", "0")
+    s_seq, logs_seq = gan_train_step(state, lr, hr, CFG, 1e-4)
+    monkeypatch.setenv("TPUSR_D_CONCAT", "1")
+    gan_train_step.clear_cache()
+    s_cat, logs_cat = gan_train_step(state, lr, hr, CFG, 1e-4)
+    gan_train_step.clear_cache()
+
+    assert abs(float(logs_seq["loss_D"]) - float(logs_cat["loss_D"])) < 1e-5
+    assert abs(float(logs_seq["loss_G"]) - float(logs_cat["loss_G"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(s_seq.stats_D),
+                    jax.tree.leaves(s_cat.stats_D)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-7)

@@ -156,7 +156,26 @@ def _train_step_core(
     # --- Discriminator update (train_GAN.py:43-53) ---
     fake_d = jax.lax.stop_gradient(fake)
 
+    # The real and fake batches run through D as ONE batch-2B application
+    # with per-group BN statistics (models/srgan.py stat_groups) — exactly
+    # the reference's two sequential calls (stats order preserved via the
+    # composed momentum update), but every conv/GEMM streams its weights
+    # once and the backward emits one wgrad per layer instead of two.
+    # TPUSR_D_CONCAT=0 restores the sequential two-call form (A/B hook).
+    import os as _os
+    d_concat = _os.environ.get("TPUSR_D_CONCAT", "1") != "0"
+
     def loss_D_fn(pd):
+        if d_concat:
+            b = hr_patches.shape[0]
+            both = jnp.concatenate(
+                [hr_patches, fake_d.astype(hr_patches.dtype)], axis=0)
+            logits, st2 = d.apply(
+                {"params": pd, "batch_stats": state.stats_D}, both, True,
+                2, mutable=["batch_stats"])
+            real_logits, fake_logits = logits[:b], logits[b:]
+            return (L.discriminator_loss(real_logits, fake_logits),
+                    st2["batch_stats"])
         real_logits, st1 = d_apply(pd, state.stats_D, hr_patches)
         fake_logits, st2 = d_apply(pd, st1, fake_d)
         return L.discriminator_loss(real_logits, fake_logits), st2

@@ -295,6 +295,14 @@ class BatchNorm(nn.Module):
     * ``return_affine=True`` — return (eff_scale, eff_bias) in f32 instead of
       normalizing, so the CONSUMING fused conv applies them in its prologue
       (one HBM pass instead of a separate normalize+activation write).
+    * ``stat_groups=g`` (train mode) — the batch is ``g`` independent
+      sub-batches stacked along N: statistics are computed PER GROUP over
+      (N/g, H, W), each group normalizes with its own stats, and the running
+      stats receive the ``g`` momentum updates in group order — exactly
+      equivalent to ``g`` sequential module applications on the sub-batches
+      (up to f32 reduction reassociation). Lets the GAN discriminator run
+      its real and fake batches as ONE conv/GEMM pass while keeping the
+      reference's separate-per-call BN semantics (train_GAN.py:44-48).
     """
 
     momentum: float = 0.1
@@ -302,7 +310,8 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, use_running_average: bool = False, *,
-                 conv_stats=None, return_affine: bool = False):
+                 conv_stats=None, return_affine: bool = False,
+                 stat_groups: int = 1):
         c = x.shape[-1]
         scale = self.param("scale", lambda k, s: jnp.ones(s), (c,))
         bias = self.param("bias", lambda k, s: jnp.zeros(s), (c,))
@@ -330,6 +339,33 @@ class BatchNorm(nn.Module):
                 m = self.momentum
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        elif stat_groups > 1:
+            # Per-group statistics (see class docstring). Groups are
+            # contiguous along N, so the reshape is free and each group's
+            # reduction is over the same (N/g, H, W) extent a standalone
+            # call would see.
+            g = stat_groups
+            assert x.shape[0] % g == 0, (x.shape, g)
+            xg = x.reshape(g, x.shape[0] // g, *x.shape[1:])
+            axes = tuple(range(1, xg.ndim - 1))
+            mean_g = jnp.mean(xg, axis=axes, dtype=jnp.float32)       # (g, c)
+            mean2_g = jnp.mean(jnp.square(xg), axis=axes, dtype=jnp.float32)
+            var_g = jnp.maximum(mean2_g - jnp.square(mean_g), 0.0)
+            n = x.size // c // g
+            if not self.is_initializing():
+                unbiased_g = var_g * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_m, ra_v = ra_mean.value, ra_var.value
+                for i in range(g):  # group order == the sequential-call order
+                    ra_m = (1 - m) * ra_m + m * mean_g[i]
+                    ra_v = (1 - m) * ra_v + m * unbiased_g[i]
+                ra_mean.value, ra_var.value = ra_m, ra_v
+            inv_g = jax.lax.rsqrt(var_g + self.eps)
+            es_g = (inv_g * scale).astype(in_dtype)                   # (g, c)
+            eb_g = (bias - mean_g * inv_g * scale).astype(in_dtype)
+            bshape = (g,) + (1,) * (xg.ndim - 2) + (c,)
+            out = xg * es_g.reshape(bshape) + eb_g.reshape(bshape)
+            return out.reshape(x.shape)
         else:
             # Stats accumulate in f32 WITHOUT materializing an f32 copy of
             # the tensor (a full-size cast costs 2 extra HBM passes per BN

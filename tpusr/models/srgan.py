@@ -117,7 +117,12 @@ class Discriminator(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, stat_groups: int = 1):
+        # stat_groups=g: x stacks g independent batches along N; every BN
+        # computes per-group statistics (layers.BatchNorm stat_groups), so
+        # one application over concat(real, fake) is exactly the reference's
+        # two sequential calls (train_GAN.py:44-48) while the convs and the
+        # dense head stream their weights once instead of twice.
         ura = not train
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -126,7 +131,7 @@ class Discriminator(nn.Module):
         schedule = [(64, 2), (128, 1), (128, 2), (256, 1), (256, 2), (512, 1), (512, 2)]
         for i, (ch, st) in enumerate(schedule):
             x = Conv(ch, 3, stride=st, dtype=self.dtype, name=f"block{i}_conv")(x)
-            x = BatchNorm(name=f"block{i}_bn")(x, ura)
+            x = BatchNorm(name=f"block{i}_bn")(x, ura, stat_groups=stat_groups)
             x = leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
         x = Dense(1024, dtype=self.dtype, name="dense1")(x)
