@@ -128,18 +128,17 @@ def test_hpad_rows():
                                rtol=1e-5, atol=1e-5)
 
 
-def test_rrdb_fused_matches_off(monkeypatch):
-    """Whole RRDBNet through the interpret fused path == XLA path."""
+def test_rrdb_fused_matches_off():
+    """Whole RRDBNet through the interpret fused path == XLA path.
+    Routing is the `fusion` module field (never a trace-time env read)."""
     from tpusr.models.rrdb import RRDBNet
 
-    net = RRDBNet(nf=64, nb=1, gc=32, scale=2)
     x = jnp.asarray(np.random.default_rng(7).random((1, 64, 64, 3)),
                     jnp.float32)
-    v = net.init(jax.random.key(0), x)
-    monkeypatch.setenv("TPUSR_CONV_FUSION", "off")
-    y0 = net.apply(v, x)
-    monkeypatch.setenv("TPUSR_CONV_FUSION", "interpret")
-    y1 = net.apply(v, x)
+    net0 = RRDBNet(nf=64, nb=1, gc=32, scale=2, fusion="off")
+    v = net0.init(jax.random.key(0), x)
+    y0 = net0.apply(v, x)
+    y1 = RRDBNet(nf=64, nb=1, gc=32, scale=2, fusion="interpret").apply(v, x)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
                                rtol=2e-4, atol=2e-5)
 

@@ -96,17 +96,14 @@ def test_custom_vjp_matches_reference_grads(params):
                                    atol=5e-4, rtol=1e-4)
 
 
-def test_rrdbnet_line_routing(params, monkeypatch):
+def test_rrdbnet_line_routing(params):
     from tpusr.models.rrdb import RRDBNet
 
     rng = np.random.default_rng(5)
-    net = RRDBNet(scale=4, nb=2)
     lr = jnp.asarray(rng.random((1, 22, 40, 3)), jnp.float32)
-    v = net.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
-    monkeypatch.setenv("TPUSR_CONV_FUSION", "interpret")
-    y1 = net.apply(v, lr)
-    monkeypatch.setenv("TPUSR_CONV_FUSION", "off")
-    y2 = net.apply(v, lr)
+    v = RRDBNet(scale=4, nb=2).init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
+    y1 = RRDBNet(scale=4, nb=2, fusion="interpret").apply(v, lr)
+    y2 = RRDBNet(scale=4, nb=2, fusion="off").apply(v, lr)
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), atol=1e-5)
 
 

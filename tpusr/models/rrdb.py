@@ -21,28 +21,28 @@ from typing import Any
 import jax.numpy as jnp
 import flax.linen as nn
 
-import os
-
 from tpusr.models.layers import (
     Conv,
     conv_apply,
+    fusion_mode,
     leaky_relu,
     torch_bias_init_for,
     torch_kernel_init,
 )
 
 
-def _conv3(x, kernel):
+def _conv3(x, kernel, mode: str = "auto"):
     """Dense-block 3x3 zero-SAME conv: Pallas tap-grouped kernel on TPU
     (small Cin packs 128//Cin taps per MXU pass — ops/pallas_conv.py),
-    conv_apply elsewhere. TPUSR_CONV_FUSION=off|interpret overrides."""
+    conv_apply elsewhere. mode: resolved fusion mode ('auto' defers to the
+    import-time TPUSR_CONV_FUSION default — layers.fusion_mode)."""
     from tpusr.ops.pallas_conv import (
         fused_conv3x3,
         fused_conv_available,
         fused_conv_supported,
     )
 
-    mode = os.environ.get("TPUSR_CONV_FUSION", "auto")
+    mode = fusion_mode(mode)
     if mode != "off":
         interp = mode == "interpret"
         if ((interp or fused_conv_available())
@@ -82,6 +82,7 @@ class DenseBlock(nn.Module):
     line: bool = False
     line_h: int = 0          # logical image rows (<= padded HB)
     line_interpret: bool = False
+    fusion: str = "auto"     # 'auto' | 'off' | 'interpret' (layers.fusion_mode)
 
     @nn.compact
     def __call__(self, x):
@@ -105,12 +106,13 @@ class DenseBlock(nn.Module):
         b1, b2, b3, b4, b5 = [b.astype(x.dtype) for b in biases]
         k1, k2, k3, k4, k5 = kernels
 
+        fm = self.fusion
         if not self.packed:
-            c1 = leaky_relu(_conv3(x, k1) + b1, 0.2)
-            c2 = leaky_relu(_conv3(jnp.concatenate([x, c1], -1), k2) + b2, 0.2)
-            c3 = leaky_relu(_conv3(jnp.concatenate([x, c1, c2], -1), k3) + b3, 0.2)
-            c4 = leaky_relu(_conv3(jnp.concatenate([x, c1, c2, c3], -1), k4) + b4, 0.2)
-            c5 = _conv3(jnp.concatenate([x, c1, c2, c3, c4], -1), k5) + b5
+            c1 = leaky_relu(_conv3(x, k1, fm) + b1, 0.2)
+            c2 = leaky_relu(_conv3(jnp.concatenate([x, c1], -1), k2, fm) + b2, 0.2)
+            c3 = leaky_relu(_conv3(jnp.concatenate([x, c1, c2], -1), k3, fm) + b3, 0.2)
+            c4 = leaky_relu(_conv3(jnp.concatenate([x, c1, c2, c3], -1), k4, fm) + b4, 0.2)
+            c5 = _conv3(jnp.concatenate([x, c1, c2, c3, c4], -1), k5, fm) + b5
             return x + 0.2 * c5
 
         # producer-packed kernels: W_src = concat of every consumer's slice
@@ -128,17 +130,17 @@ class DenseBlock(nn.Module):
                                sl(k5, nf + 2 * gc)], axis=-1)  # gc -> gc+nf
         w_4 = sl(k5, nf + 3 * gc)                              # gc -> nf
 
-        px = _conv3(x, w_x)
+        px = _conv3(x, w_x, fm)
         c1 = leaky_relu(px[..., :gc] + b1, 0.2)
-        p1 = _conv3(c1, w_1)
+        p1 = _conv3(c1, w_1, fm)
         c2 = leaky_relu(px[..., gc:2 * gc] + p1[..., :gc] + b2, 0.2)
-        p2 = _conv3(c2, w_2)
+        p2 = _conv3(c2, w_2, fm)
         c3 = leaky_relu(px[..., 2 * gc:3 * gc] + p1[..., gc:2 * gc]
                         + p2[..., :gc] + b3, 0.2)
-        p3 = _conv3(c3, w_3)
+        p3 = _conv3(c3, w_3, fm)
         c4 = leaky_relu(px[..., 3 * gc:4 * gc] + p1[..., 2 * gc:3 * gc]
                         + p2[..., gc:2 * gc] + p3[..., :gc] + b4, 0.2)
-        p4 = _conv3(c4, w_4)
+        p4 = _conv3(c4, w_4, fm)
         c5 = (px[..., 4 * gc:] + p1[..., 3 * gc:] + p2[..., 2 * gc:]
               + p3[..., gc:] + p4 + b5)
         return x + 0.2 * c5
@@ -152,11 +154,12 @@ class RRDB(nn.Module):
     line: bool = False
     line_h: int = 0
     line_interpret: bool = False
+    fusion: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         kw = dict(line=self.line, line_h=self.line_h,
-                  line_interpret=self.line_interpret)
+                  line_interpret=self.line_interpret, fusion=self.fusion)
         out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
                          name="rdb1", **kw)(x)
         out = DenseBlock(self.nf, self.gc, self.dtype, self.packed,
@@ -179,6 +182,7 @@ class RRDBNet(nn.Module):
     scale: int = 4  # power of two
     dtype: Any = None
     packed: bool = True  # MXU-packed dense blocks (see DenseBlock)
+    fusion: str = "auto"  # 'auto' | 'off' | 'interpret' (layers.fusion_mode)
     # NOTE: a low-res phase decomposition of [nearest-2x + conv3x3] (4 phase
     # convs at LR, 2.25x fewer MACs) was built and measured SLOWER on the 2K
     # bench (11.3 vs 12.1 MPix/s: phase-interleave stacks cost more HR-size
@@ -197,7 +201,7 @@ class RRDBNet(nn.Module):
             dense_line_supported,
         )
 
-        mode = os.environ.get("TPUSR_CONV_FUSION", "auto")
+        mode = fusion_mode(self.fusion)
         interp = mode == "interpret"
         H, W = trunk.shape[1], trunk.shape[2]
         HB = max(-(-H // 8) * 8, 16)
@@ -213,14 +217,14 @@ class RRDBNet(nn.Module):
             for i in range(self.nb):
                 trunk = RRDB(self.nf, self.gc, self.dtype, self.packed,
                              line=True, line_h=H, line_interpret=interp,
-                             name=f"rrdb{i}")(trunk)
+                             fusion=mode, name=f"rrdb{i}")(trunk)
             trunk = trunk[:, :H, :, :self.nf]
         else:
             for i in range(self.nb):
                 trunk = RRDB(self.nf, self.gc, self.dtype, self.packed,
-                             name=f"rrdb{i}")(trunk)
+                             fusion=mode, name=f"rrdb{i}")(trunk)
         trunk = Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
-                     name="trunk_conv")(trunk)
+                     fusion=mode, name="trunk_conv")(trunk)
         fea = fea + trunk
 
         n_up = self.scale.bit_length() - 1
@@ -233,8 +237,8 @@ class RRDBNet(nn.Module):
                 (n, h, 2, w, 2, c)).reshape(n, 2 * h, 2 * w, c)
             fea = leaky_relu(
                 Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
-                     name=f"upconv{i + 1}")(fea), 0.2)
+                     fusion=mode, name=f"upconv{i + 1}")(fea), 0.2)
         fea = leaky_relu(Conv(self.nf, 3, dtype=self.dtype, auto_fuse=True,
-                          name="conv_hr")(fea), 0.2)
+                          fusion=mode, name="conv_hr")(fea), 0.2)
         out = Conv(self.out_channels, 3, dtype=self.dtype, name="conv_last")(fea)
         return out.astype(jnp.float32)
