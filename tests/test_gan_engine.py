@@ -95,30 +95,35 @@ def test_adv_weight_scales_adversarial_term():
                                gap / 2, rtol=1e-4)
 
 
-def test_g_fuse_route_matches_default(monkeypatch):
+def test_g_fuse_route_matches_default():
     """Eval routes the G's 3x3 convs through the fused kernel BY DEFAULT on
-    qualifying shapes (with TPUSR_CONV_FUSION=interpret exercising the
-    kernel on CPU); the output must match the TPUSR_G_FUSE=0 banded-XLA
-    path. TPUSR_G_FUSE=train additionally fuses the training generator."""
+    qualifying shapes (conv_fusion='interpret' exercising the kernel on
+    CPU); the output must match the g_fuse='off' banded-XLA path.
+    g_fuse='train' additionally fuses the training generator. Routing lives
+    in hashable config fields, so the two routes are distinct jit cache
+    entries — no clear_cache needed."""
+    import dataclasses
+
     from tpusr.engine.gan import _models, generator_forward
 
     cfg = GANTrainConfig(factor=4, residual_blocks_count=2)
     rng = np.random.default_rng(5)
     x = jnp.asarray(rng.random((1, 64, 64, 3)), jnp.float32)
 
-    monkeypatch.setenv("TPUSR_G_FUSE", "0")
-    g0, _ = _models(cfg)
+    cfg_off = dataclasses.replace(cfg, g_fuse="off")
+    g0, _ = _models(cfg_off)
     v = g0.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8, 3)))
-    want = generator_forward(v["params"], v["batch_stats"], x, cfg)
+    want = generator_forward(v["params"], v["batch_stats"], x, cfg_off)
 
-    monkeypatch.delenv("TPUSR_G_FUSE", raising=False)
-    monkeypatch.setenv("TPUSR_CONV_FUSION", "interpret")
-    got = generator_forward(v["params"], v["batch_stats"], x, cfg)
+    cfg_fuse = dataclasses.replace(cfg, g_fuse="eval",
+                                   conv_fusion="interpret")
+    got = generator_forward(v["params"], v["batch_stats"], x, cfg_fuse)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
-    monkeypatch.setenv("TPUSR_G_FUSE", "train")
-    g1, _ = _models(cfg)
+    cfg_train = dataclasses.replace(cfg, g_fuse="train",
+                                    conv_fusion="interpret")
+    g1, _ = _models(cfg_train)
     assert g1.auto_fuse
     got_t, _ = g1.apply(v, x, True, mutable=["batch_stats"])
     want_t, _ = g0.apply(v, x, True, mutable=["batch_stats"])
@@ -155,21 +160,22 @@ def test_d_concat_matches_sequential_calls(monkeypatch):
                                    rtol=1e-5, atol=1e-7)
 
 
-def test_d_concat_step_matches_sequential_step(monkeypatch):
-    """The concat-D train step (TPUSR_D_CONCAT=1, default) must produce the
+def test_d_concat_step_matches_sequential_step():
+    """The concat-D train step (d_concat=True, default) must produce the
     same losses and D running stats as the sequential two-call form.
     Post-Adam params are NOT compared: D gradients at random init amplify
     f32 reduction reassociation chaotically (measured; DESIGN.md 'random-init
-    D gradients are chaotic')."""
+    D gradients are chaotic'). d_concat is a config field (static jit arg),
+    so the two routes are distinct cache entries — no clear_cache needed."""
+    import dataclasses
+
     lr, hr = _batch()
     state = create_gan_state(jax.random.key(7), CFG, 1e-4)
 
-    monkeypatch.setenv("TPUSR_D_CONCAT", "0")
-    s_seq, logs_seq = gan_train_step(state, lr, hr, CFG, 1e-4)
-    monkeypatch.setenv("TPUSR_D_CONCAT", "1")
-    gan_train_step.clear_cache()
-    s_cat, logs_cat = gan_train_step(state, lr, hr, CFG, 1e-4)
-    gan_train_step.clear_cache()
+    cfg_seq = dataclasses.replace(CFG, d_concat=False)
+    cfg_cat = dataclasses.replace(CFG, d_concat=True)
+    s_seq, logs_seq = gan_train_step(state, lr, hr, cfg_seq, 1e-4)
+    s_cat, logs_cat = gan_train_step(state, lr, hr, cfg_cat, 1e-4)
 
     assert abs(float(logs_seq["loss_D"]) - float(logs_cat["loss_D"])) < 1e-5
     assert abs(float(logs_seq["loss_G"]) - float(logs_cat["loss_G"])) < 1e-5
@@ -177,3 +183,55 @@ def test_d_concat_step_matches_sequential_step(monkeypatch):
                     jax.tree.leaves(s_cat.stats_D)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-7)
+
+
+def test_bf16_adam_moments_match_f32_updates():
+    """_adam('bf16') stores both moments in bfloat16 but must track plain
+    optax.adam closely: same update math in f32, only the moment STORAGE is
+    rounded. 20 steps on a deterministic quadratic stay within bf16's ~0.4%
+    relative storage error envelope."""
+    import optax
+
+    from tpusr.engine.gan import _adam
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8)}
+    target = jnp.ones((8, 8)) * 0.3
+
+    tx32, tx16 = _adam(1e-2), _adam(1e-2, "bf16")
+    s32, s16 = tx32.init(params), tx16.init(params)
+    assert jax.tree.leaves(s16)[1].dtype == jnp.bfloat16  # mu leaf
+
+    p32 = p16 = params
+    for _ in range(20):
+        g32 = jax.grad(lambda p: jnp.mean((p["w"] - target) ** 2))(p32)
+        g16 = jax.grad(lambda p: jnp.mean((p["w"] - target) ** 2))(p16)
+        u32, s32 = tx32.update(g32, s32, p32)
+        u16, s16 = tx16.update(g16, s16, p16)
+        p32 = optax.apply_updates(p32, u32)
+        p16 = optax.apply_updates(p16, u16)
+    # params themselves stay f32 and the trajectories agree to ~1e-3 of the
+    # lr-scale step magnitude
+    assert p16["w"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(p16["w"]), np.asarray(p32["w"]),
+                               atol=2e-3)
+
+
+def test_train_step_with_bf16_d_moments():
+    """Full train step with d_moments='bf16': finite losses, D moments
+    stored bf16, G moments stay f32, and the step runs end-to-end."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, d_moments="bf16")
+    state = create_gan_state(jax.random.key(4), cfg, 1e-4)
+    d_mu_leaves = jax.tree.leaves(state.opt_D)
+    assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in d_mu_leaves)
+    g_mu_leaves = jax.tree.leaves(state.opt_G)
+    assert all(getattr(l, "dtype", None) != jnp.bfloat16 for l in g_mu_leaves)
+
+    lr, hr = _batch()
+    new_state, logs = gan_train_step(state, lr, hr, cfg, 1e-4)
+    assert np.isfinite(float(logs["loss_D"]))
+    assert np.isfinite(float(logs["loss_G"]))
+    d0 = jax.tree.leaves(state.params_D)[0]
+    d1 = jax.tree.leaves(new_state.params_D)[0]
+    assert not np.allclose(np.asarray(d0), np.asarray(d1))

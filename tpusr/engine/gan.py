@@ -19,6 +19,7 @@ and ``GAN_ISR_Batch_eval`` (eval_GAN.py:21-69), re-designed for TPU:
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from functools import partial
 from typing import Any, Callable
 
@@ -29,6 +30,17 @@ from flax import struct
 
 from tpusr.engine import losses as L
 from tpusr.models.srgan import Discriminator, Generator
+
+# Routing defaults, resolved ONCE at import (never at trace time — a
+# trace-time env read is not part of the jit cache key, so flipping the env
+# after the first trace silently keeps the old route; VERDICT r3 weak #5).
+# The subprocess A/B tools (tools/ab_g_fuse.py etc.) set these before
+# launching Python; in-process callers use dataclasses.replace on the config.
+_D_CONCAT_DEFAULT = _os.environ.get("TPUSR_D_CONCAT", "1") != "0"
+_G_FUSE_DEFAULT = {"0": "off", "train": "train"}.get(
+    _os.environ.get("TPUSR_G_FUSE", "1"), "eval")
+_D_MOMENTS_DEFAULT = _os.environ.get("TPUSR_D_MOMENTS", "f32")
+_D_HEAD_FUSED_DEFAULT = _os.environ.get("TPUSR_D_HEAD_FUSED", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,6 +65,88 @@ class GANTrainConfig:
     # unweighted sum (utils/GAN.py:121); 1e-3 = the SRGAN paper coefficient
     # (opt-in extension — see losses.perceptual_loss)
     adv_weight: float = 1.0
+    # True: the D update runs concat(real, fake) as ONE batch-2B application
+    # with per-group BN stats — exactly the reference's two sequential calls
+    # (train_GAN.py:44-48) but every conv/GEMM streams its weights once.
+    # Measured +9% full-step (DESIGN.md "concat-D update"). False = the
+    # sequential two-call form (A/B hook; env TPUSR_D_CONCAT=0 seeds it).
+    d_concat: bool = _D_CONCAT_DEFAULT
+    # Fused-Pallas-conv routing for the generator: 'eval' (default) fuses the
+    # batch-1 full-image EVAL forward only (measured +19% on the x8 eval
+    # bench); 'train' additionally fuses the training G (measured slightly
+    # negative at the reference workload — A/B hook); 'off' keeps the
+    # banded-XLA path everywhere. Env TPUSR_G_FUSE (0|1|train) seeds the
+    # default at import.
+    g_fuse: str = _G_FUSE_DEFAULT
+    # Kernel-mode override for the fused convs: 'auto' (hardware when
+    # available) | 'off' | 'interpret' (CPU tests of the fused dataflow) —
+    # see models/layers.fusion_mode.
+    conv_fusion: str = "auto"
+    # Storage dtype of the DISCRIMINATOR's Adam moments (m and v). The 80M-
+    # param D sits at the optimizer bandwidth floor (~2.7 ms/step of pure
+    # HBM traffic, DESIGN.md "D dense head"); 'bf16' stores both moments in
+    # bfloat16 (update math stays f32) cutting the Adam stream from 28 to
+    # 16 bytes/param. Opt-in; the G's moments stay f32 (1.7M params —
+    # nothing to win, and DIP/G trajectories stay bit-identical). Env
+    # TPUSR_D_MOMENTS seeds the default at import (A/B tooling).
+    d_moments: str = _D_MOMENTS_DEFAULT  # 'f32' | 'bf16'
+    # Fuse the dense1 (73728->1024, 94% of the D) backward + Adam into ONE
+    # Pallas weight pass (ops/pallas_head.py): dgrad, wgrad, and the moment/
+    # param update read+write the 75.5M-param tensor once instead of the
+    # stock graph's four streams. Requires d_concat. Env TPUSR_D_HEAD_FUSED
+    # seeds the default (A/B tooling).
+    d_head_fused: bool = _D_HEAD_FUSED_DEFAULT
+
+
+def _adam(learning_rate: float, moments: str = "f32"):
+    """Adam with selectable moment STORAGE dtype.
+
+    'f32' returns plain ``optax.adam`` (bit-identical state trees with every
+    existing checkpoint). 'bf16' stores both moments in bfloat16 while all
+    update arithmetic (EMA, bias correction, rsqrt) runs in f32 — the same
+    trade optax's ``mu_dtype`` makes for m, extended to v. The v EMA is the
+    slow-moving square magnitude; bf16's ~0.4% relative storage error
+    perturbs the per-step update direction by <0.2%, which the loss-
+    neutrality A/B must confirm before routing (VERDICT r3 #2).
+    """
+    if moments == "f32":
+        return optax.adam(learning_rate)
+    assert moments == "bf16", moments
+    b1, b2, eps = 0.9, 0.999, 1e-8  # optax.adam / torch.optim.Adam defaults
+
+    def init(params):
+        zeros = lambda p: jnp.zeros(p.shape, jnp.bfloat16)  # noqa: E731
+        return optax.ScaleByAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(zeros, params),
+            nu=jax.tree_util.tree_map(zeros, params))
+
+    def update(grads, opt_state, params=None):
+        del params
+        c = opt_state.count + 1
+        bc1 = 1.0 - b1 ** c.astype(jnp.float32)
+        bc2 = 1.0 - b2 ** c.astype(jnp.float32)
+
+        def one(g, m, v):
+            g = g.astype(jnp.float32)
+            m32 = b1 * m.astype(jnp.float32) + (1.0 - b1) * g
+            v32 = b2 * v.astype(jnp.float32) + (1.0 - b2) * jnp.square(g)
+            upd = (-learning_rate) * (m32 / bc1) / (
+                jnp.sqrt(v32 / bc2) + eps)
+            return upd, m32.astype(jnp.bfloat16), v32.astype(jnp.bfloat16)
+
+        flat, tdef = jax.tree_util.tree_flatten(grads)
+        mus = tdef.flatten_up_to(opt_state.mu)
+        nus = tdef.flatten_up_to(opt_state.nu)
+        out = [one(g, m, v) for g, m, v in zip(flat, mus, nus)]
+        updates = tdef.unflatten([o[0] for o in out])
+        new_state = optax.ScaleByAdamState(
+            count=c,
+            mu=tdef.unflatten([o[1] for o in out]),
+            nu=tdef.unflatten([o[2] for o in out]))
+        return updates, new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 class GANTrainState(struct.PyTreeNode):
@@ -66,17 +160,16 @@ class GANTrainState(struct.PyTreeNode):
 
 
 def _models(config: GANTrainConfig) -> tuple[Generator, Discriminator]:
-    # TPUSR_G_FUSE=train additionally routes the TRAINING generator's 3x3
-    # convs through the fused Pallas kernel where shapes qualify (measured
+    # g_fuse='train' additionally routes the TRAINING generator's 3x3 convs
+    # through the fused Pallas kernel where shapes qualify (measured
     # neutral-to-slightly-negative at the reference train workload: 374.9
     # vs ~394 patches/s, tools/ab_g_fuse.py — so off by default; eval
     # defaults ON in generator_forward below, where it measured +19%).
-    import os
-    g_fuse = os.environ.get("TPUSR_G_FUSE", "") == "train"
     return (
         Generator(factor=config.factor,
                   residual_blocks_count=config.residual_blocks_count,
-                  dtype=config.dtype, auto_fuse=g_fuse),
+                  dtype=config.dtype, auto_fuse=config.g_fuse == "train",
+                  fusion=config.conv_fusion),
         Discriminator(dtype=config.dtype),
     )
 
@@ -100,13 +193,140 @@ def create_gan_state(
     if params_D is None:
         vd = d.init(kd, jnp.zeros((1, config.hr_patch, config.hr_patch, 3)))
         params_D, stats_D = vd["params"], vd["batch_stats"]
-    tx = optax.adam(learning_rate)
+    tx_g = _adam(learning_rate)
+    tx_d = _adam(learning_rate, config.d_moments)
     return GANTrainState(
         params_G=params_G, stats_G=stats_G,
         params_D=params_D, stats_D=stats_D,
-        opt_G=tx.init(params_G), opt_D=tx.init(params_D),
+        opt_G=tx_g.init(params_G), opt_D=tx_d.init(params_D),
         step=jnp.zeros((), jnp.int32),
     )
+
+
+def _adam_substate(opt):
+    """(ScaleByAdamState, rebuild) for either optimizer-state layout:
+    optax.adam's (ScaleByAdamState, EmptyState) chain (d_moments='f32') or
+    the bare ScaleByAdamState of _adam('bf16')."""
+    if isinstance(opt, optax.ScaleByAdamState):
+        return opt, lambda s: s
+    return opt[0], lambda s: (s,) + tuple(opt[1:])
+
+
+def _drop_d1k(tree):
+    """Copy of a D param/moment tree without the dense1 kernel leaf."""
+    out = dict(tree)
+    out["dense1"] = {"Dense_0": {"bias": tree["dense1"]["Dense_0"]["bias"]}}
+    return out
+
+
+def _set_d1k(tree, kernel):
+    """Re-insert the dense1 kernel leaf."""
+    out = dict(tree)
+    d0 = dict(tree["dense1"]["Dense_0"])
+    d0["kernel"] = kernel
+    out["dense1"] = {"Dense_0": d0}
+    return out
+
+
+def _d_update_fused(d, state, hr_patches, fake_d, config, learning_rate):
+    """Discriminator update with dense1's backward + Adam fused into one
+    Pallas weight pass (ops/pallas_head.py).
+
+    Equivalent to the unfused value_and_grad + adam path up to f32 reduction
+    order (pinned by tests/test_pallas_head.py): the trunk cotangent flows
+    through a normal jax.vjp; the head (dense1 -> LeakyReLU -> dense2 ->
+    BCE, train_GAN.py:43-53 / utils/GAN.py:101-105) backward is the closed
+    form below, so dense1's gradient never exists in HBM — its dgrad, wgrad,
+    and moment/param update all happen per 256-row weight tile in VMEM.
+    """
+    from tpusr.models.layers import fusion_mode, leaky_relu
+    from tpusr.ops.pallas_conv import fused_conv_available
+    from tpusr.ops.pallas_head import head_bwd_adam, head_bwd_adam_reference
+
+    b = hr_patches.shape[0]
+    both = jnp.concatenate(
+        [hr_patches, fake_d.astype(hr_patches.dtype)], axis=0)
+    pd = state.params_D
+    w1 = pd["dense1"]["Dense_0"]["kernel"]
+    b1p = pd["dense1"]["Dense_0"]["bias"]
+    w2 = pd["dense2"]["Dense_0"]["kernel"]
+    b2p = pd["dense2"]["Dense_0"]["bias"]
+    trunk = {k: v for k, v in pd.items() if k not in ("dense1", "dense2")}
+
+    def trunk_fn(pt):
+        feats, upd = d.apply({"params": pt, "batch_stats": state.stats_D},
+                             both, True, 2, True, mutable=["batch_stats"])
+        return feats, upd["batch_stats"]
+
+    feats, trunk_vjp, stats_D = jax.vjp(trunk_fn, trunk, has_aux=True)
+    adt = feats.dtype
+
+    # Head forward — flax Dense dtype semantics (promote to the activation
+    # dtype for compute; logits cast back to f32, models/srgan.py).
+    y1 = feats @ w1.astype(adt) + b1p.astype(adt)
+    a1 = leaky_relu(y1, 0.2)
+    logits = (a1 @ w2.astype(adt) + b2p.astype(adt)).astype(jnp.float32)
+    loss_D = L.discriminator_loss(logits[:b], logits[b:])
+
+    # Closed-form head backward. d(BCE(logits, t))/d(logits) for a mean
+    # over b elements is (sigmoid(logits) - t)/b; real targets 1, fake 0.
+    sig = jax.nn.sigmoid(logits)
+    targets = jnp.concatenate([jnp.ones((b, 1), jnp.float32),
+                               jnp.zeros((b, 1), jnp.float32)], axis=0)
+    dlogits = (sig - targets) / b
+    dl = dlogits.astype(adt)
+    dw2 = jax.lax.dot_general(a1, dl, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    db2 = jnp.sum(dlogits, axis=0)
+    da1 = dl @ w2.astype(adt).T
+    dy1 = jnp.where(y1 > 0, da1, jnp.asarray(0.2, adt) * da1)
+    db1 = jnp.sum(dy1.astype(jnp.float32), axis=0)
+
+    sub, rebuild = _adam_substate(state.opt_D)
+    count = sub.count + 1  # optax.scale_by_adam increments before correcting
+    m1 = sub.mu["dense1"]["Dense_0"]["kernel"]
+    v1 = sub.nu["dense1"]["Dense_0"]["kernel"]
+    mode = fusion_mode(config.conv_fusion)
+    if mode == "interpret":
+        fn = partial(head_bwd_adam, interpret=True)
+    elif (mode != "off" and fused_conv_available()
+          and feats.shape[0] >= 8 and feats.shape[1] % 256 == 0):
+        fn = head_bwd_adam
+    else:
+        fn = head_bwd_adam_reference
+    dfeats, w1_new, m1_new, v1_new = fn(w1, m1, v1, feats, dy1, count,
+                                        learning_rate)
+
+    (g_trunk,) = trunk_vjp(dfeats)
+
+    # Adam for every leaf EXCEPT dense1.kernel (same closed form as _adam /
+    # optax.adam; per-leaf moment storage dtype preserved).
+    grads_rest = dict(g_trunk)
+    grads_rest["dense1"] = {"Dense_0": {"bias": db1}}
+    grads_rest["dense2"] = {"Dense_0": {"kernel": dw2, "bias": db2}}
+    params_rest = _drop_d1k(pd)
+    mu_rest, nu_rest = _drop_d1k(sub.mu), _drop_d1k(sub.nu)
+    cf = count.astype(jnp.float32)
+    bc1, bc2 = 1.0 - 0.9 ** cf, 1.0 - 0.999 ** cf
+
+    def leaf(p, gr, m, v):
+        g32 = gr.astype(jnp.float32)
+        m32 = 0.9 * m.astype(jnp.float32) + 0.1 * g32
+        v32 = 0.999 * v.astype(jnp.float32) + 0.001 * g32 * g32
+        upd = learning_rate * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + 1e-8)
+        return ((p - upd).astype(p.dtype), m32.astype(m.dtype),
+                v32.astype(v.dtype))
+
+    triple = jax.tree_util.tree_map(leaf, params_rest, grads_rest,
+                                    mu_rest, nu_rest)
+    is3 = lambda t: isinstance(t, tuple)  # noqa: E731
+    pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
+        lambda t: t[i], triple, is_leaf=is3)
+    params_D = _set_d1k(pick(0), w1_new)
+    mu = _set_d1k(pick(1), m1_new)
+    nu = _set_d1k(pick(2), v1_new)
+    opt_D = rebuild(sub._replace(count=count, mu=mu, nu=nu))
+    return params_D, stats_D, opt_D, loss_D
 
 
 def _train_step_core(
@@ -114,7 +334,7 @@ def _train_step_core(
     lr_patches: jnp.ndarray,
     hr_patches: jnp.ndarray,
     config: GANTrainConfig,
-    tx,
+    learning_rate: float,  # static — optimizers are built here (see _adam)
     content_loss: Callable,
 ):
     """One adversarial step (do_epoch parity, train_GAN.py:38-71).
@@ -123,6 +343,8 @@ def _train_step_core(
     Returns (new_state, {'loss_D', 'loss_G'}).
     """
     g, d = _models(config)
+    tx_G = _adam(learning_rate)
+    tx_D = _adam(learning_rate, config.d_moments)
 
     def g_apply(p, st, x, train=True):
         out, upd = g.apply({"params": p, "batch_stats": st}, x, train,
@@ -161,12 +383,9 @@ def _train_step_core(
     # the reference's two sequential calls (stats order preserved via the
     # composed momentum update), but every conv/GEMM streams its weights
     # once and the backward emits one wgrad per layer instead of two.
-    # TPUSR_D_CONCAT=0 restores the sequential two-call form (A/B hook).
-    import os as _os
-    d_concat = _os.environ.get("TPUSR_D_CONCAT", "1") != "0"
-
+    # config.d_concat=False restores the sequential two-call form (A/B hook).
     def loss_D_fn(pd):
-        if d_concat:
+        if config.d_concat:
             b = hr_patches.shape[0]
             both = jnp.concatenate(
                 [hr_patches, fake_d.astype(hr_patches.dtype)], axis=0)
@@ -180,10 +399,15 @@ def _train_step_core(
         fake_logits, st2 = d_apply(pd, st1, fake_d)
         return L.discriminator_loss(real_logits, fake_logits), st2
 
-    (loss_D, stats_D), grads_D = jax.value_and_grad(loss_D_fn, has_aux=True)(
-        state.params_D)
-    upd_D, opt_D = tx.update(grads_D, state.opt_D, state.params_D)
-    params_D = optax.apply_updates(state.params_D, upd_D)
+    if config.d_head_fused:
+        assert config.d_concat, "d_head_fused requires the concat-D update"
+        params_D, stats_D, opt_D, loss_D = _d_update_fused(
+            d, state, hr_patches, fake_d, config, learning_rate)
+    else:
+        (loss_D, stats_D), grads_D = jax.value_and_grad(
+            loss_D_fn, has_aux=True)(state.params_D)
+        upd_D, opt_D = tx_D.update(grads_D, state.opt_D, state.params_D)
+        params_D = optax.apply_updates(state.params_D, upd_D)
 
     # --- Generator update (train_GAN.py:55-64): differentiate the loss
     # w.r.t. the fake IMAGES, then pull the cotangent back through the
@@ -200,7 +424,7 @@ def _train_step_core(
 
     loss_G, dfake = jax.value_and_grad(loss_from_fake)(fake)
     (grads_G,) = g_vjp(dfake)
-    upd_G, opt_G = tx.update(grads_G, state.opt_G, state.params_G)
+    upd_G, opt_G = tx_G.update(grads_G, state.opt_G, state.params_G)
     params_G = optax.apply_updates(state.params_G, upd_G)
 
     new_state = GANTrainState(
@@ -222,9 +446,8 @@ def gan_train_step(
     content_loss: Callable = L.mse,
 ):
     """Single dispatched adversarial step (see _train_step_core)."""
-    tx = optax.adam(learning_rate)
-    return _train_step_core(state, lr_patches, hr_patches, config, tx,
-                            content_loss)
+    return _train_step_core(state, lr_patches, hr_patches, config,
+                            learning_rate, content_loss)
 
 
 @partial(jax.jit, static_argnames=("config", "train"))
@@ -247,13 +470,14 @@ def generator_forward(
     # hardware: 96.7 vs 81.4 MPix/s on the x8 eval bench, tools/ab_g_fuse.py
     # — the fully-chained variant measured 93.7 and was pruned). Per-conv
     # routing still gates on fused_conv_available/_supported inside Conv,
-    # so CPU and unsupported shapes fall back to the XLA path. TPUSR_G_FUSE=0
-    # opts out (e.g. to A/B, or under spatial shard_map where the per-shard
-    # shapes may not benefit); the param tree is identical either way.
-    import os as _os
-    if _os.environ.get("TPUSR_G_FUSE", "1") != "0" and not g.auto_fuse:
+    # so CPU and unsupported shapes fall back to the XLA path.
+    # config.g_fuse='off' opts out (e.g. to A/B, or under spatial shard_map
+    # where the per-shard shapes may not benefit); the param tree is
+    # identical either way.
+    if config.g_fuse != "off" and not g.auto_fuse:
         g = Generator(factor=config.factor,
                       residual_blocks_count=config.residual_blocks_count,
-                      dtype=config.dtype, auto_fuse=True)
+                      dtype=config.dtype, auto_fuse=True,
+                      fusion=config.conv_fusion)
     return g.apply({"params": params_G, "batch_stats": stats_G},
                    lr_images, False)

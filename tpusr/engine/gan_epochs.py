@@ -32,7 +32,6 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-import optax
 
 from tpusr.engine import losses as L
 from tpusr.engine.gan import GANTrainConfig, GANTrainState, _train_step_core
@@ -100,7 +99,6 @@ def gan_train_epochs(
     steps = n // b
     f = config.factor
     lr_patch = config.hr_patch // f
-    tx = optax.adam(learning_rate)
 
     crop_batch = jax.vmap(
         partial(_crop_pair, lr_patch=lr_patch, factor=f,
@@ -128,8 +126,8 @@ def gan_train_epochs(
             if patch_sharding is not None:
                 lr_p = jax.lax.with_sharding_constraint(lr_p, patch_sharding)
                 hr_p = jax.lax.with_sharding_constraint(hr_p, patch_sharding)
-            state, losses = _train_step_core(state, lr_p, hr_p, config, tx,
-                                             content_loss)
+            state, losses = _train_step_core(state, lr_p, hr_p, config,
+                                             learning_rate, content_loss)
             if not with_metrics:
                 return state, (losses["loss_D"], losses["loss_G"])
             from tpusr.engine.gan import generator_forward

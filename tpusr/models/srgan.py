@@ -31,16 +31,17 @@ class ResidualBlock(nn.Module):
 
     dtype: Any = None
     auto_fuse: bool = False
+    fusion: str = "auto"
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         ura = not train
         z = Conv(64, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
-                 name="conv1")(x)
+                 fusion=self.fusion, name="conv1")(x)
         z = BatchNorm(name="bn1")(z, ura)
         z = PReLU(name="prelu1")(z)
         z = Conv(64, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
-                 name="conv2")(z)
+                 fusion=self.fusion, name="conv2")(z)
         z = BatchNorm(name="bn2")(z, ura)
         return x + z
 
@@ -50,11 +51,12 @@ class PixelShuffleBlock(nn.Module):
 
     dtype: Any = None
     auto_fuse: bool = False
+    fusion: str = "auto"
 
     @nn.compact
     def __call__(self, x):
         x = Conv(256, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
-                 name="conv1")(x)
+                 fusion=self.fusion, name="conv1")(x)
         x = pixel_shuffle(x, 2)
         return PReLU(name="prelu1")(x)
 
@@ -73,10 +75,12 @@ class Generator(nn.Module):
     dtype: Any = None
     # Route the 3x3 convs through the fused Pallas kernel when the shape
     # qualifies (batch-1 full-image eval; training batches fall through the
-    # n==1 gate automatically). EXPERIMENTAL, default off — set via
-    # TPUSR_G_FUSE=1 (engine/gan.py _models); the eval A/B decides
-    # (tools/ab_g_fuse.py).
+    # n==1 gate automatically). Default off for training; the eval entry
+    # point opts in (engine/gan.py generator_forward — measured +19% on the
+    # x8 eval bench). Routing is carried in GANTrainConfig.g_fuse, never
+    # read from env at trace time.
     auto_fuse: bool = False
+    fusion: str = "auto"  # 'auto' | 'off' | 'interpret' (layers.fusion_mode)
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -91,16 +95,17 @@ class Generator(nn.Module):
         z = x0
         for i in range(self.residual_blocks_count):
             z = ResidualBlock(dtype=self.dtype, auto_fuse=self.auto_fuse,
-                              name=f"res{i}")(z, train)
+                              fusion=self.fusion, name=f"res{i}")(z, train)
 
         z = Conv(64, 3, dtype=self.dtype, auto_fuse=self.auto_fuse,
-                 name="conv2")(z)
+                 fusion=self.fusion, name="conv2")(z)
         z = BatchNorm(name="bn1")(z, ura)
         z = x0 + z  # long skip (generator.py:74)
 
         for i in range(n_shuffles):
             z = PixelShuffleBlock(dtype=self.dtype,
                                   auto_fuse=self.auto_fuse,
+                                  fusion=self.fusion,
                                   name=f"ps{i}")(z)
 
         z = Conv(3, 9, dtype=self.dtype, name="conv3")(z)
@@ -117,12 +122,17 @@ class Discriminator(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True, stat_groups: int = 1):
+    def __call__(self, x, train: bool = True, stat_groups: int = 1,
+                 trunk_only: bool = False):
         # stat_groups=g: x stacks g independent batches along N; every BN
         # computes per-group statistics (layers.BatchNorm stat_groups), so
         # one application over concat(real, fake) is exactly the reference's
         # two sequential calls (train_GAN.py:44-48) while the convs and the
         # dense head stream their weights once instead of twice.
+        # trunk_only=True returns the flattened conv features WITHOUT running
+        # the dense head — engine/gan's fused-head train step (d_head_fused)
+        # applies dense1/dense2 manually so dense1's backward + Adam can run
+        # as one Pallas weight pass (ops/pallas_head.py).
         ura = not train
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -134,6 +144,8 @@ class Discriminator(nn.Module):
             x = BatchNorm(name=f"block{i}_bn")(x, ura, stat_groups=stat_groups)
             x = leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
+        if trunk_only:
+            return x
         x = Dense(1024, dtype=self.dtype, name="dense1")(x)
         x = leaky_relu(x, 0.2)
         logits = Dense(1, dtype=self.dtype, name="dense2")(x)
