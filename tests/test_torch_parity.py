@@ -107,6 +107,51 @@ def test_generator_forward_parity_via_pth_import():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_infer_generator_arch_torch_and_params():
+    """eval_gan must adapt to the block counts a checkpoint actually holds
+    (a train --residual_blocks 2 run's .pth evaluated without the flag
+    KeyError'd before the inference existed)."""
+    from tpusr.io.checkpoint import infer_generator_arch
+
+    torch.manual_seed(3)
+    tg = TorchGenerator(n_res=2, n_ps=3)
+    sd = {k: np.asarray(v.detach()) for k, v in tg.state_dict().items()}
+    assert infer_generator_arch(sd) == (2, 3)
+    params, _ = import_torch_generator(sd, residual_blocks_count=2,
+                                       n_shuffles=3)
+    assert infer_generator_arch(params) == (2, 3)
+
+
+def test_load_generator_adapts_and_rejects():
+    """load_generator corrects a residual-block mismatch (warn + override)
+    and raises on a shuffle/factor mismatch with the required factor."""
+    import dataclasses
+    import warnings
+
+    import pytest
+
+    from tpusr.cli.eval_gan import load_generator
+
+    torch.manual_seed(4)
+    tg = TorchGenerator(n_res=2, n_ps=3)  # an x8 generator, 2 res blocks
+    sd = {k: v.detach() for k, v in tg.state_dict().items()}
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = f"{d}/g.pth"
+        torch.save(sd, path)
+        cfg = GANTrainConfig(factor=8, residual_blocks_count=16)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            _, _, cfg2 = load_generator(path, cfg)
+        assert cfg2.residual_blocks_count == 2
+        assert any("residual blocks" in str(x.message) for x in w)
+
+        cfg16 = dataclasses.replace(cfg, factor=16)
+        with pytest.raises(ValueError, match="x8"):
+            load_generator(path, cfg16)
+
+
 def test_generator_export_roundtrip():
     torch.manual_seed(1)
     tg = TorchGenerator(n_res=2, n_ps=1).eval()

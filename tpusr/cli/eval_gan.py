@@ -18,8 +18,10 @@ that domain with torchmetrics' conventions, exactly like the reference.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 import time
+import warnings
 
 import numpy as np
 
@@ -28,7 +30,12 @@ from tpusr.data.div2k import GANDIV2KDataset
 from tpusr.engine.gan import GANTrainConfig, generator_forward
 from tpusr.engine.metrics import psnr as psnr_fn
 from tpusr.engine.metrics import ssim as ssim_fn
-from tpusr.io.checkpoint import import_torch_generator, load_checkpoint, load_torch_state_dict
+from tpusr.io.checkpoint import (
+    import_torch_generator,
+    infer_generator_arch,
+    load_checkpoint,
+    load_torch_state_dict,
+)
 from tpusr.io.images import save_image, to_uint8
 from tpusr.io.logs import save_log
 from tpusr.models.lpips import make_lpips
@@ -36,15 +43,40 @@ from tpusr.utils.convert import np_to_device
 
 
 def load_generator(model_path: str, config: GANTrainConfig):
-    """torch .pth (reference naming, DDP prefixes stripped) or orbax dir."""
+    """torch .pth (reference naming, DDP prefixes stripped) or orbax dir.
+
+    Returns (params_G, stats_G, config) — config's residual_blocks_count is
+    corrected to what the checkpoint actually contains (a warning notes the
+    mismatch; the reference hard-codes 16 so only our --residual_blocks
+    extension can disagree). A shuffle-count mismatch means the checkpoint
+    was trained for a different factor — that is a real user error and
+    raises with the required --factor.
+    """
     n_shuffles = {2: 1, 4: 2, 8: 3, 16: 4}[config.factor]
     if model_path.endswith(".pth"):
         sd = load_torch_state_dict(model_path)
-        return import_torch_generator(
-            sd, residual_blocks_count=config.residual_blocks_count,
-            n_shuffles=n_shuffles)
-    state = load_checkpoint(model_path)
-    return state["params_G"], state["stats_G"]
+        rb, ns = infer_generator_arch(sd)
+    else:
+        state = load_checkpoint(model_path)
+        rb, ns = infer_generator_arch(state["params_G"])
+    if ns != n_shuffles:
+        ckpt_factor = {1: 2, 2: 4, 3: 8, 4: 16}[ns]
+        raise ValueError(
+            f"{model_path} holds a x{ckpt_factor} generator ({ns} pixel-"
+            f"shuffle blocks) but --factor/--downsample request "
+            f"x{config.factor} ({n_shuffles}); rerun with the factor the "
+            f"model was trained for")
+    if rb != config.residual_blocks_count:
+        warnings.warn(
+            f"checkpoint has {rb} residual blocks; overriding "
+            f"--residual_blocks {config.residual_blocks_count}")
+        config = dataclasses.replace(config, residual_blocks_count=rb)
+    if model_path.endswith(".pth"):
+        params, stats = import_torch_generator(
+            sd, residual_blocks_count=rb, n_shuffles=ns)
+    else:
+        params, stats = state["params_G"], state["stats_G"]
+    return params, stats, config
 
 
 def evaluate(params_G, stats_G, dataset, out_dir, config: GANTrainConfig,
@@ -143,7 +175,7 @@ def run(argv=None):
     config = GANTrainConfig(factor=factor,
                             residual_blocks_count=args.residual_blocks,
                             dtype=None if args.dtype == "float32" else args.dtype)
-    params_G, stats_G = load_generator(args.model_path, config)
+    params_G, stats_G, config = load_generator(args.model_path, config)
 
     dataset = GANDIV2KDataset(
         LR_dir=LR_dir, HR_dir=HR_dir, scale_factor=factor,

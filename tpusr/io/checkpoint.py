@@ -92,6 +92,33 @@ def _bn_in(sd, key):
     return params, stats
 
 
+def infer_generator_arch(tree: dict) -> tuple[int, int]:
+    """(residual_blocks_count, n_shuffles) from a generator checkpoint.
+
+    Accepts either a reference torch state_dict (keys
+    ``residual_blocks.{i}.*`` / ``pixel_shuffle_blocks.{i}.*``,
+    models/GAN/generator.py) or a tpusr params tree (``res{i}`` / ``ps{i}``).
+    The reference hard-codes 16 blocks and derives shuffles from the factor;
+    our CLIs expose both as flags, so eval must adapt to what the checkpoint
+    actually contains instead of KeyError-ing on a mismatch.
+    """
+    keys = list(tree.keys())
+    if any(k.startswith("residual_blocks.") or k == "conv1.weight"
+           for k in keys):  # torch state_dict
+        rb = {int(k.split(".")[1]) for k in keys
+              if k.startswith("residual_blocks.")}
+        ps = {int(k.split(".")[1]) for k in keys
+              if k.startswith("pixel_shuffle_blocks.")}
+    else:  # tpusr params / orbax tree
+        rb = {int(k[3:]) for k in keys if k.startswith("res") and k[3:].isdigit()}
+        ps = {int(k[2:]) for k in keys if k.startswith("ps") and k[2:].isdigit()}
+    if not rb or not ps:
+        raise ValueError(
+            f"not a generator checkpoint (no residual/shuffle blocks found "
+            f"among {sorted(keys)[:8]}...)")
+    return max(rb) + 1, max(ps) + 1
+
+
 def import_torch_generator(sd: dict, residual_blocks_count: int = 16,
                            n_shuffles: int = 3):
     """Reference Generator state_dict -> (params, batch_stats).
