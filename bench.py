@@ -253,7 +253,14 @@ def bench_gan_train_patches() -> float:
         rng.integers(0, 256, (n_img, lh * 8, lw * 8, 3)), jnp.uint8)
     valid = jnp.full((n_img, 2), lh, jnp.int32)
 
-    n_epochs = 10
+    # 100 epochs = 200 steps per dispatch. Production (cli/train_gan.py)
+    # dispatches one on-device scan per --train_log_freq chunk (default 100
+    # epochs = 10,000 steps at DIV2K's 800 images / batch 8), so per-dispatch
+    # costs — program launch, the first epoch's per-step metric collection,
+    # the end-of-scan reductions — are ~50x more amortized there than even
+    # this 200-step dispatch; measuring 10-epoch dispatches overweighted
+    # them (17.4 ms/step wall vs 14.0 device, prof_gan_r4.log).
+    n_epochs = 100
 
     def run_fn(st, k):
         st2, _ = gan_train_epochs(st, lr_u8, hr_u8, valid, k, config,

@@ -76,44 +76,8 @@ def check_conv(label, xs, co, *, affine, act, reflect, stats, bwd=True):
               flush=True)
 
 
-def check_head(label, mdtype, adtype):
-    """ops/pallas_head.py at the real D-head shape (73728x1024, batch 16)."""
-    from tpusr.ops.pallas_head import head_bwd_adam, head_bwd_adam_reference
-
-    rng = np.random.default_rng(1)
-    K, N, B = 73728, 1024, 16
-    w = jnp.asarray(rng.normal(0, 0.02, (K, N)), jnp.float32)
-    m = jnp.asarray(rng.normal(0, 1e-4, (K, N)), mdtype)
-    v = jnp.asarray(rng.random((K, N)) * 1e-6, mdtype)
-    feats = jnp.asarray(rng.normal(0, 1, (B, K)), adtype)
-    dy = jnp.asarray(rng.normal(0, 1e-2, (B, N)), jnp.float32)
-    count = jnp.asarray(3, jnp.int32)
-    try:
-        got = head_bwd_adam(w, m, v, feats, dy, count, 1e-4)
-        sync(got[1])
-        want = jax.jit(head_bwd_adam_reference)(w, m, v, feats, dy, count,
-                                                1e-4)
-        for a, b, nm in zip(got, want, ("dx", "w2", "m2", "v2")):
-            af, bf = np.asarray(a, np.float32), np.asarray(b, np.float32)
-            denom = np.abs(bf).max() + 1e-9
-            rel = np.abs(af - bf).max() / denom
-            tol = 2e-2 if (a.dtype == jnp.bfloat16) else 1e-3
-            assert rel < tol, (nm, rel)
-        print(f"{label}: OK", flush=True)
-    except Exception as e:
-        print(f"{label}: FAILED {type(e).__name__}: {str(e)[:300]}",
-              flush=True)
-
-
 def main():
     print("device:", jax.devices()[0], flush=True)
-    # new round-4 kernel: fused dense-head backward+Adam at the real shape
-    check_head("head_bwd_adam f32-moments bf16-acts", jnp.float32,
-               jnp.bfloat16)
-    check_head("head_bwd_adam bf16-moments bf16-acts", jnp.bfloat16,
-               jnp.bfloat16)
-    check_head("head_bwd_adam f32-moments f32-acts", jnp.float32,
-               jnp.float32)
     # the DIP hot class: reflect + prologue + stats epilogue
     check_conv("dip reflect+prologue+stats", (1, 512, 512, 128), 128,
                affine=True, act="leaky_relu", reflect=True, stats=True)

@@ -40,7 +40,6 @@ _D_CONCAT_DEFAULT = _os.environ.get("TPUSR_D_CONCAT", "1") != "0"
 _G_FUSE_DEFAULT = {"0": "off", "train": "train"}.get(
     _os.environ.get("TPUSR_G_FUSE", "1"), "eval")
 _D_MOMENTS_DEFAULT = _os.environ.get("TPUSR_D_MOMENTS", "f32")
-_D_HEAD_FUSED_DEFAULT = _os.environ.get("TPUSR_D_HEAD_FUSED", "0") == "1"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -90,12 +89,6 @@ class GANTrainConfig:
     # nothing to win, and DIP/G trajectories stay bit-identical). Env
     # TPUSR_D_MOMENTS seeds the default at import (A/B tooling).
     d_moments: str = _D_MOMENTS_DEFAULT  # 'f32' | 'bf16'
-    # Fuse the dense1 (73728->1024, 94% of the D) backward + Adam into ONE
-    # Pallas weight pass (ops/pallas_head.py): dgrad, wgrad, and the moment/
-    # param update read+write the 75.5M-param tensor once instead of the
-    # stock graph's four streams. Requires d_concat. Env TPUSR_D_HEAD_FUSED
-    # seeds the default (A/B tooling).
-    d_head_fused: bool = _D_HEAD_FUSED_DEFAULT
 
 
 def _adam(learning_rate: float, moments: str = "f32"):
@@ -203,132 +196,6 @@ def create_gan_state(
     )
 
 
-def _adam_substate(opt):
-    """(ScaleByAdamState, rebuild) for either optimizer-state layout:
-    optax.adam's (ScaleByAdamState, EmptyState) chain (d_moments='f32') or
-    the bare ScaleByAdamState of _adam('bf16')."""
-    if isinstance(opt, optax.ScaleByAdamState):
-        return opt, lambda s: s
-    return opt[0], lambda s: (s,) + tuple(opt[1:])
-
-
-def _drop_d1k(tree):
-    """Copy of a D param/moment tree without the dense1 kernel leaf."""
-    out = dict(tree)
-    out["dense1"] = {"Dense_0": {"bias": tree["dense1"]["Dense_0"]["bias"]}}
-    return out
-
-
-def _set_d1k(tree, kernel):
-    """Re-insert the dense1 kernel leaf."""
-    out = dict(tree)
-    d0 = dict(tree["dense1"]["Dense_0"])
-    d0["kernel"] = kernel
-    out["dense1"] = {"Dense_0": d0}
-    return out
-
-
-def _d_update_fused(d, state, hr_patches, fake_d, config, learning_rate):
-    """Discriminator update with dense1's backward + Adam fused into one
-    Pallas weight pass (ops/pallas_head.py).
-
-    Equivalent to the unfused value_and_grad + adam path up to f32 reduction
-    order (pinned by tests/test_pallas_head.py): the trunk cotangent flows
-    through a normal jax.vjp; the head (dense1 -> LeakyReLU -> dense2 ->
-    BCE, train_GAN.py:43-53 / utils/GAN.py:101-105) backward is the closed
-    form below, so dense1's gradient never exists in HBM — its dgrad, wgrad,
-    and moment/param update all happen per 256-row weight tile in VMEM.
-    """
-    from tpusr.models.layers import fusion_mode, leaky_relu
-    from tpusr.ops.pallas_conv import fused_conv_available
-    from tpusr.ops.pallas_head import head_bwd_adam, head_bwd_adam_reference
-
-    b = hr_patches.shape[0]
-    both = jnp.concatenate(
-        [hr_patches, fake_d.astype(hr_patches.dtype)], axis=0)
-    pd = state.params_D
-    w1 = pd["dense1"]["Dense_0"]["kernel"]
-    b1p = pd["dense1"]["Dense_0"]["bias"]
-    w2 = pd["dense2"]["Dense_0"]["kernel"]
-    b2p = pd["dense2"]["Dense_0"]["bias"]
-    trunk = {k: v for k, v in pd.items() if k not in ("dense1", "dense2")}
-
-    def trunk_fn(pt):
-        feats, upd = d.apply({"params": pt, "batch_stats": state.stats_D},
-                             both, True, 2, True, mutable=["batch_stats"])
-        return feats, upd["batch_stats"]
-
-    feats, trunk_vjp, stats_D = jax.vjp(trunk_fn, trunk, has_aux=True)
-    adt = feats.dtype
-
-    # Head forward — flax Dense dtype semantics (promote to the activation
-    # dtype for compute; logits cast back to f32, models/srgan.py).
-    y1 = feats @ w1.astype(adt) + b1p.astype(adt)
-    a1 = leaky_relu(y1, 0.2)
-    logits = (a1 @ w2.astype(adt) + b2p.astype(adt)).astype(jnp.float32)
-    loss_D = L.discriminator_loss(logits[:b], logits[b:])
-
-    # Closed-form head backward. d(BCE(logits, t))/d(logits) for a mean
-    # over b elements is (sigmoid(logits) - t)/b; real targets 1, fake 0.
-    sig = jax.nn.sigmoid(logits)
-    targets = jnp.concatenate([jnp.ones((b, 1), jnp.float32),
-                               jnp.zeros((b, 1), jnp.float32)], axis=0)
-    dlogits = (sig - targets) / b
-    dl = dlogits.astype(adt)
-    dw2 = jax.lax.dot_general(a1, dl, (((0,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    db2 = jnp.sum(dlogits, axis=0)
-    da1 = dl @ w2.astype(adt).T
-    dy1 = jnp.where(y1 > 0, da1, jnp.asarray(0.2, adt) * da1)
-    db1 = jnp.sum(dy1.astype(jnp.float32), axis=0)
-
-    sub, rebuild = _adam_substate(state.opt_D)
-    count = sub.count + 1  # optax.scale_by_adam increments before correcting
-    m1 = sub.mu["dense1"]["Dense_0"]["kernel"]
-    v1 = sub.nu["dense1"]["Dense_0"]["kernel"]
-    mode = fusion_mode(config.conv_fusion)
-    if mode == "interpret":
-        fn = partial(head_bwd_adam, interpret=True)
-    elif (mode != "off" and fused_conv_available()
-          and feats.shape[0] >= 8 and feats.shape[1] % 256 == 0):
-        fn = head_bwd_adam
-    else:
-        fn = head_bwd_adam_reference
-    dfeats, w1_new, m1_new, v1_new = fn(w1, m1, v1, feats, dy1, count,
-                                        learning_rate)
-
-    (g_trunk,) = trunk_vjp(dfeats)
-
-    # Adam for every leaf EXCEPT dense1.kernel (same closed form as _adam /
-    # optax.adam; per-leaf moment storage dtype preserved).
-    grads_rest = dict(g_trunk)
-    grads_rest["dense1"] = {"Dense_0": {"bias": db1}}
-    grads_rest["dense2"] = {"Dense_0": {"kernel": dw2, "bias": db2}}
-    params_rest = _drop_d1k(pd)
-    mu_rest, nu_rest = _drop_d1k(sub.mu), _drop_d1k(sub.nu)
-    cf = count.astype(jnp.float32)
-    bc1, bc2 = 1.0 - 0.9 ** cf, 1.0 - 0.999 ** cf
-
-    def leaf(p, gr, m, v):
-        g32 = gr.astype(jnp.float32)
-        m32 = 0.9 * m.astype(jnp.float32) + 0.1 * g32
-        v32 = 0.999 * v.astype(jnp.float32) + 0.001 * g32 * g32
-        upd = learning_rate * (m32 / bc1) / (jnp.sqrt(v32 / bc2) + 1e-8)
-        return ((p - upd).astype(p.dtype), m32.astype(m.dtype),
-                v32.astype(v.dtype))
-
-    triple = jax.tree_util.tree_map(leaf, params_rest, grads_rest,
-                                    mu_rest, nu_rest)
-    is3 = lambda t: isinstance(t, tuple)  # noqa: E731
-    pick = lambda i: jax.tree_util.tree_map(  # noqa: E731
-        lambda t: t[i], triple, is_leaf=is3)
-    params_D = _set_d1k(pick(0), w1_new)
-    mu = _set_d1k(pick(1), m1_new)
-    nu = _set_d1k(pick(2), v1_new)
-    opt_D = rebuild(sub._replace(count=count, mu=mu, nu=nu))
-    return params_D, stats_D, opt_D, loss_D
-
-
 def _train_step_core(
     state: GANTrainState,
     lr_patches: jnp.ndarray,
@@ -399,15 +266,15 @@ def _train_step_core(
         fake_logits, st2 = d_apply(pd, st1, fake_d)
         return L.discriminator_loss(real_logits, fake_logits), st2
 
-    if config.d_head_fused:
-        assert config.d_concat, "d_head_fused requires the concat-D update"
-        params_D, stats_D, opt_D, loss_D = _d_update_fused(
-            d, state, hr_patches, fake_d, config, learning_rate)
-    else:
-        (loss_D, stats_D), grads_D = jax.value_and_grad(
-            loss_D_fn, has_aux=True)(state.params_D)
-        upd_D, opt_D = tx_D.update(grads_D, state.opt_D, state.params_D)
-        params_D = optax.apply_updates(state.params_D, upd_D)
+    # Note (measured, DESIGN.md "the fused dense-head verdict"): a Pallas
+    # kernel fusing dense1's backward + Adam into one weight pass (gradient
+    # never materialized in HBM) was built, pinned vs autodiff+optax, and
+    # A/B'd at this step — it LOST decisively (396-408 vs 460-462 patches/s)
+    # and was pruned; record in DESIGN.md, code in git history (round-4).
+    (loss_D, stats_D), grads_D = jax.value_and_grad(
+        loss_D_fn, has_aux=True)(state.params_D)
+    upd_D, opt_D = tx_D.update(grads_D, state.opt_D, state.params_D)
+    params_D = optax.apply_updates(state.params_D, upd_D)
 
     # --- Generator update (train_GAN.py:55-64): differentiate the loss
     # w.r.t. the fake IMAGES, then pull the cotangent back through the

@@ -122,17 +122,12 @@ class Discriminator(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = True, stat_groups: int = 1,
-                 trunk_only: bool = False):
+    def __call__(self, x, train: bool = True, stat_groups: int = 1):
         # stat_groups=g: x stacks g independent batches along N; every BN
         # computes per-group statistics (layers.BatchNorm stat_groups), so
         # one application over concat(real, fake) is exactly the reference's
         # two sequential calls (train_GAN.py:44-48) while the convs and the
         # dense head stream their weights once instead of twice.
-        # trunk_only=True returns the flattened conv features WITHOUT running
-        # the dense head — engine/gan's fused-head train step (d_head_fused)
-        # applies dense1/dense2 manually so dense1's backward + Adam can run
-        # as one Pallas weight pass (ops/pallas_head.py).
         ura = not train
         if self.dtype is not None:
             x = x.astype(self.dtype)
@@ -144,8 +139,6 @@ class Discriminator(nn.Module):
             x = BatchNorm(name=f"block{i}_bn")(x, ura, stat_groups=stat_groups)
             x = leaky_relu(x, 0.2)
         x = x.reshape(x.shape[0], -1)
-        if trunk_only:
-            return x
         x = Dense(1024, dtype=self.dtype, name="dense1")(x)
         x = leaky_relu(x, 0.2)
         logits = Dense(1, dtype=self.dtype, name="dense2")(x)
