@@ -217,11 +217,17 @@ def test_bf16_adam_moments_match_f32_updates():
 
 
 def test_train_step_with_bf16_d_moments():
-    """Full train step with d_moments='bf16': finite losses, D moments
-    stored bf16, G moments stay f32, and the step runs end-to-end."""
+    """d_moments='bf16' is the DEFAULT (round 4, +6% measured, PARITY.md):
+    D moments stored bf16, G moments stay f32, full step runs end-to-end
+    with finite losses; 'f32' opt-out restores plain optax state dtypes."""
     import dataclasses
 
-    cfg = dataclasses.replace(CFG, d_moments="bf16")
+    cfg = CFG
+    assert cfg.d_moments == "bf16"  # the routed default
+    s_f32 = create_gan_state(
+        jax.random.key(4), dataclasses.replace(cfg, d_moments="f32"), 1e-4)
+    assert all(getattr(l, "dtype", None) != jnp.bfloat16
+               for l in jax.tree.leaves(s_f32.opt_D))
     state = create_gan_state(jax.random.key(4), cfg, 1e-4)
     d_mu_leaves = jax.tree.leaves(state.opt_D)
     assert any(getattr(l, "dtype", None) == jnp.bfloat16 for l in d_mu_leaves)
@@ -235,3 +241,34 @@ def test_train_step_with_bf16_d_moments():
     d0 = jax.tree.leaves(state.params_D)[0]
     d1 = jax.tree.leaves(new_state.params_D)[0]
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
+
+
+def test_resume_across_moment_dtypes(tmp_path):
+    """A checkpoint written with f32 D moments (pre-round-4 default) resumes
+    into a bf16-moment state: load_checkpoint casts leaves to the target's
+    dtypes, values survive within bf16 rounding, and the step runs."""
+    import dataclasses
+
+    from tpusr.io.checkpoint import load_checkpoint, save_checkpoint
+
+    cfg32 = dataclasses.replace(CFG, d_moments="f32")
+    s32 = create_gan_state(jax.random.key(7), cfg32, 1e-4)
+    # one step so the moments are non-zero
+    lr, hr = _batch()
+    s32, _ = gan_train_step(s32, lr, hr, cfg32, 1e-4)
+    save_checkpoint(str(tmp_path / "ckpt"), s32)
+
+    target = create_gan_state(jax.random.key(0), CFG, 1e-4)  # bf16 moments
+    restored = load_checkpoint(str(tmp_path / "ckpt"), target=target)
+    for r, t in zip(jax.tree.leaves(restored.opt_D),
+                    jax.tree.leaves(target.opt_D)):
+        assert r.dtype == t.dtype
+    # a float32 source moment survives the cast within bf16 rounding
+    src = jax.tree.leaves(s32.opt_D)
+    got = jax.tree.leaves(restored.opt_D)
+    for s, g in zip(src, got):
+        np.testing.assert_allclose(np.asarray(s, np.float32),
+                                   np.asarray(g, np.float32),
+                                   rtol=8e-3, atol=1e-8)
+    new_state, logs = gan_train_step(restored, lr, hr, CFG, 1e-4)
+    assert np.isfinite(float(logs["loss_D"]))

@@ -39,7 +39,7 @@ from tpusr.models.srgan import Discriminator, Generator
 _D_CONCAT_DEFAULT = _os.environ.get("TPUSR_D_CONCAT", "1") != "0"
 _G_FUSE_DEFAULT = {"0": "off", "train": "train"}.get(
     _os.environ.get("TPUSR_G_FUSE", "1"), "eval")
-_D_MOMENTS_DEFAULT = _os.environ.get("TPUSR_D_MOMENTS", "f32")
+_D_MOMENTS_DEFAULT = _os.environ.get("TPUSR_D_MOMENTS", "bf16")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,10 +85,14 @@ class GANTrainConfig:
     # param D sits at the optimizer bandwidth floor (~2.7 ms/step of pure
     # HBM traffic, DESIGN.md "D dense head"); 'bf16' stores both moments in
     # bfloat16 (update math stays f32) cutting the Adam stream from 28 to
-    # 16 bytes/param. Opt-in; the G's moments stay f32 (1.7M params —
-    # nothing to win, and DIP/G trajectories stay bit-identical). Env
-    # TPUSR_D_MOMENTS seeds the default at import (A/B tooling).
-    d_moments: str = _D_MOMENTS_DEFAULT  # 'f32' | 'bf16'
+    # 16 bytes/param. DEFAULT since round 4: measured +6% full-step with
+    # loss-trajectory + endpoint-quality neutrality (docs/evidence_r4/
+    # d_moments_neutrality.log, ab_d_moments_quality*.log; PARITY.md row).
+    # 'f32' restores plain optax.adam (torch-exact optimizer state dtypes).
+    # The G's moments stay f32 (1.7M params — nothing to win, and DIP/G
+    # trajectories stay bit-identical). Env TPUSR_D_MOMENTS seeds the
+    # default at import (A/B tooling); --d_moments on the CLI.
+    d_moments: str = _D_MOMENTS_DEFAULT  # 'bf16' | 'f32'
 
 
 def _adam(learning_rate: float, moments: str = "f32"):
@@ -107,15 +111,19 @@ def _adam(learning_rate: float, moments: str = "f32"):
     assert moments == "bf16", moments
     b1, b2, eps = 0.9, 0.999, 1e-8  # optax.adam / torch.optim.Adam defaults
 
+    # The state tree mirrors optax.adam's (ScaleByAdamState, EmptyState)
+    # EXACTLY (only leaf dtypes differ) so orbax checkpoints restore across
+    # d_moments settings — load_checkpoint casts leaves to the target dtype.
     def init(params):
         zeros = lambda p: jnp.zeros(p.shape, jnp.bfloat16)  # noqa: E731
-        return optax.ScaleByAdamState(
+        return (optax.ScaleByAdamState(
             count=jnp.zeros((), jnp.int32),
             mu=jax.tree_util.tree_map(zeros, params),
-            nu=jax.tree_util.tree_map(zeros, params))
+            nu=jax.tree_util.tree_map(zeros, params)), optax.EmptyState())
 
-    def update(grads, opt_state, params=None):
+    def update(grads, opt_states, params=None):
         del params
+        opt_state = opt_states[0]
         c = opt_state.count + 1
         bc1 = 1.0 - b1 ** c.astype(jnp.float32)
         bc2 = 1.0 - b2 ** c.astype(jnp.float32)
@@ -137,7 +145,7 @@ def _adam(learning_rate: float, moments: str = "f32"):
             count=c,
             mu=tdef.unflatten([o[1] for o in out]),
             nu=tdef.unflatten([o[2] for o in out]))
-        return updates, new_state
+        return updates, (new_state, optax.EmptyState())
 
     return optax.GradientTransformation(init, update)
 

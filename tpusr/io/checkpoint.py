@@ -45,7 +45,17 @@ def load_checkpoint(path: str, target: Any | None = None) -> Any:
     ckptr = ocp.StandardCheckpointer()
     if target is None:
         return ckptr.restore(path)
-    return ckptr.restore(path, target=target)
+    restored = ckptr.restore(path, target=target)
+    # Cast leaves to the target's dtypes: checkpoints written before the
+    # d_moments='bf16' default (round 4) carry f32 Adam moments; resuming
+    # them into a bf16-moment state (or vice versa with --d_moments f32)
+    # must not poison the jitted train step with a surprise dtype tree.
+    import jax
+
+    def cast(r, t):
+        return r.astype(t.dtype) if hasattr(t, "dtype") and r.dtype != t.dtype else r
+
+    return jax.tree_util.tree_map(cast, restored, target)
 
 
 # ---------------------------------------------------------------------------
