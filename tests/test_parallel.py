@@ -74,6 +74,32 @@ def test_sharded_halo_forward_interior_exact(gen_state):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+def test_spatial_x16_tiled_and_halo_interior_exact():
+    """The x16 configuration's halo geometry (4-shuffle generator,
+    eval_GAN.py:132 path): output offsets scale by factor 16, so a halo
+    error would displace by 16 HR rows — exactness here pins the geometry."""
+    cfg16 = GANTrainConfig(factor=16, residual_blocks_count=2, hr_patch=64)
+    state = create_gan_state(jax.random.key(3), cfg16, 1e-4)
+    x = _image(64, 8, seed=4)
+    full = generator_forward(state.params_G, state.stats_G, x, cfg16,
+                             train=False)
+    assert full.shape == (1, 64 * 16, 8 * 16, 3)
+
+    tiled = tiled_generator_forward(state.params_G, state.stats_G, x,
+                                    cfg16, n_tiles=4, halo=12)
+    np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+    mesh = make_mesh({"spatial": 4})
+    sharded = sharded_generator_forward(
+        state.params_G, state.stats_G, x, cfg16, mesh=mesh, halo=12)
+    assert sharded.shape == full.shape
+    f = cfg16.factor
+    got = np.asarray(sharded)[:, 12 * f:-12 * f]
+    want = np.asarray(full)[:, 12 * f:-12 * f]
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+
+
 def test_dp_gan_step_matches_single_device():
     cfg = GANTrainConfig(factor=4, batch_size=8, hr_patch=32,
                          residual_blocks_count=2)
