@@ -253,14 +253,16 @@ def bench_gan_train_patches() -> float:
         rng.integers(0, 256, (n_img, lh * 8, lw * 8, 3)), jnp.uint8)
     valid = jnp.full((n_img, 2), lh, jnp.int32)
 
-    # 100 epochs = 200 steps per dispatch. Production (cli/train_gan.py)
+    # 300 epochs = 600 steps per dispatch: the measured knee of the
+    # amortization curve (tools/ab_chunk_amortization.py, interleaved rounds,
+    # docs/evidence_r4/ab_chunk_amortization.log: 100ep 538-541 patches/s,
+    # 300ep 545.1-545.4, 600ep 545.9-546.3). Production (cli/train_gan.py)
     # dispatches one on-device scan per --train_log_freq chunk (default 100
     # epochs = 10,000 steps at DIV2K's 800 images / batch 8), so per-dispatch
     # costs — program launch, the first epoch's per-step metric collection,
-    # the end-of-scan reductions — are ~50x more amortized there than even
-    # this 200-step dispatch; measuring 10-epoch dispatches overweighted
-    # them (17.4 ms/step wall vs 14.0 device, prof_gan_r4.log).
-    n_epochs = 100
+    # the end-of-scan reductions — are even MORE amortized there; 600
+    # steps/dispatch stays 17x below production, i.e. conservative.
+    n_epochs = 300
 
     def run_fn(st, k):
         st2, _ = gan_train_epochs(st, lr_u8, hr_u8, valid, k, config,

@@ -12,6 +12,14 @@ from __future__ import annotations
 
 import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# Host-side tool (PIL resize + metric reductions): CPU, never the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 from PIL import Image
@@ -26,12 +34,18 @@ def main():
     p.add_argument("data_dir")
     p.add_argument("--split", default="valid")
     p.add_argument("--factor", type=int, default=8)
+    p.add_argument("--downsample", action="store_true",
+                   help="x16 configuration: the x8 LR is bicubic-halved "
+                        "again (eval_GAN.py:132 semantics); --factor must "
+                        "be 16")
     args = p.parse_args()
+    if args.downsample and args.factor != 16:
+        p.error("--downsample implies --factor 16")
 
     dataset = GANDIV2KDataset(
         LR_dir=os.path.join(args.data_dir, f"DIV2K_{args.split}_LR_x8/"),
         HR_dir=os.path.join(args.data_dir, f"DIV2K_{args.split}_HR/"),
-        scale_factor=args.factor, train=False)
+        scale_factor=args.factor, downsample=args.downsample, train=False)
 
     psnrs, ssims = [], []
     for lr, hr, name in dataset:
