@@ -11,13 +11,27 @@ Extra metrics (recorded inside the JSON payload under "extra"):
   * gan_eval megapixels/sec/chip (x8 full-image generator inference)
   * rrdb x4 2K megapixels/sec/chip
   * gan_train patches/sec (reference workload: batch 8, 192² patches)
+  * dip_final_psnr: DIP runs on a seeded STRUCTURED synthetic image (not
+    noise), so the headline carries a PSNR sanity value — a silent
+    DCE/shortcut in the measured program would surface as garbage PSNR
+    (the gan_train phantom of round 3 showed that failure mode).
 
-Delivery contract (VERDICT r3 weak #1 — the round-3 driver bench timed out
-with EMPTY output and lost the round's official record):
+Delivery contract (VERDICT r3 weak #1 + r4 weak #1 — two consecutive driver
+captures produced an empty official record):
+  * A non-null headline ``value`` is written WITHIN MINUTES: a 100-iteration
+    DIP worker runs first and the headline is extrapolated (marked as an
+    upper bound — it multiplies per-dispatch overhead by 10). The exact
+    1000-iteration measurement runs LAST and upgrades the value if the
+    budget allows.
+  * Remaining workloads run cheapest-compile-first: gan_eval, rrdb, then
+    gan_train (2 compiles + 600-step dispatches).
   * The cumulative result JSON is printed after EVERY completed workload, so
     the last stdout line is always parseable no matter when the process dies.
   * A global wall-clock deadline (TPUSR_BENCH_DEADLINE_SEC, default 1680 s)
     skips remaining workloads and reports them as "skipped: deadline".
+  * Every worker prints stage heartbeats to stderr ("[hb] ... compiled");
+    a timeout/failure records the LAST heartbeat, so a lost workload says
+    where it died (backend init vs compile vs measure).
   * All workers share one persistent JAX compilation cache directory
     (.jax_cache/ next to this file), so only the first compile of each
     program pays the 1-7 min remote compile — retries, later workloads that
@@ -52,6 +66,7 @@ import numpy as np
 DIP_H, DIP_W = 512, 512          # HR optimization canvas (pad-free square)
 DIP_FACTOR = 8
 DIP_ITERS = 1000
+DIP_QUICK_ITERS = 100             # headline-within-minutes worker (see above)
 TORCH_BASELINE_ITERS = 5          # extrapolated from the per-iter MEDIAN;
                                   # torch-CPU is ~30-60 s/iter on this 1-vCPU
                                   # host and single iters jitter >2x under
@@ -71,6 +86,17 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          ".jax_cache")
 
 
+def _hb(msg: str) -> None:
+    """Worker heartbeat: stage marker on stderr, captured by the parent.
+
+    On a timeout/crash the parent records the LAST heartbeat in the failure
+    string, so "failed: timeout" becomes diagnosable (backend init vs
+    compile vs measure — VERDICT r4 weak #1).
+    """
+    print(f"[hb] {time.strftime('%H:%M:%S')} {msg}", file=sys.stderr,
+          flush=True)
+
+
 def _sync(x) -> float:
     """Force full device execution + tiny host readback.
 
@@ -82,7 +108,27 @@ def _sync(x) -> float:
     return float(jnp.sum(x))
 
 
-def bench_dip_tpu(num_iter: int, dtype: str = "bfloat16") -> float:
+def _synth_pair(h: int, w: int, factor: int):
+    """Seeded structured HR image + its PIL-bicubic x8 LR (uint8 arrays).
+
+    Structured content (edges/texture/gradient, tools/make_synth_div2k.py)
+    instead of white noise so the DIP headline run produces a meaningful
+    final PSNR (white noise is unlearnable through the x8 downsample).
+    Timing is unaffected: same shapes, same compiled program.
+    """
+    from PIL import Image
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "tools"))
+    from make_synth_div2k import make_image
+
+    hr = make_image(np.random.default_rng(0), max(h, w))[:h, :w]
+    lr = np.asarray(Image.fromarray(hr).resize((w // factor, h // factor),
+                                               Image.BICUBIC), np.uint8)
+    return lr, hr
+
+
+def bench_dip_tpu(num_iter: int, dtype: str = "bfloat16") -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -90,19 +136,31 @@ def bench_dip_tpu(num_iter: int, dtype: str = "bfloat16") -> float:
 
     config = DIPConfig(factor=DIP_FACTOR, num_iter=num_iter,
                        log_freq=max(num_iter // 10, 1), dtype=dtype)
-    rng = np.random.default_rng(0)
-    hr = jnp.asarray(rng.random((1, DIP_H, DIP_W, 3)), jnp.float32)
-    lr = jnp.asarray(
-        rng.random((1, DIP_H // DIP_FACTOR, DIP_W // DIP_FACTOR, 3)), jnp.float32)
+    lr_np, hr_np = _synth_pair(DIP_H, DIP_W, DIP_FACTOR)
+    hr = jnp.asarray(hr_np)[None]   # (1,H,W,3) uint8; normalized on device
+    lr = jnp.asarray(lr_np)[None]
+    _hb("backend up")
 
     # compile (not timed)
-    resolved, _ = dip_superresolve(lr, hr, jax.random.key(0), config)
+    _hb("compiling dip")
+    resolved, curves = dip_superresolve(lr, hr, jax.random.key(0), config)
     _sync(resolved)
+    _hb("compiled; measuring")
 
-    t0 = time.perf_counter()
-    resolved, _ = dip_superresolve(lr, hr, jax.random.key(1), config)
-    _sync(resolved)
-    return time.perf_counter() - t0
+    # quick runs repeat the dispatch and take the median (the per-dispatch
+    # overhead is a larger fraction of a 100-iter run, and single dispatches
+    # jitter over the tunnel); the full run is single-shot like production
+    reps = 3 if num_iter < DIP_ITERS else 1
+    times = []
+    for i in range(reps):
+        t0 = time.perf_counter()
+        resolved, curves = dip_superresolve(lr, hr, jax.random.key(1 + i),
+                                            config)
+        _sync(resolved)
+        times.append(time.perf_counter() - t0)
+    psnr = float(np.asarray(curves["psnr"])[-1])
+    _hb("measured")
+    return {"sec": float(np.median(times)), "psnr": round(psnr, 2)}
 
 
 def bench_dip_torch_cpu(num_iter: int) -> float:
@@ -191,9 +249,12 @@ def bench_gan_eval_mpix() -> float:
     config = GANTrainConfig(factor=8, dtype="bfloat16")
     state = create_gan_state(jax.random.key(0), config, 1e-4)
     lr = jnp.asarray(np.random.default_rng(0).random((1, 128, 128, 3)), jnp.float32)
+    _hb("backend up")
 
+    _hb("compiling gan_eval")
     out = generator_forward(state.params_G, state.stats_G, lr, config, train=False)
     _sync(out)
+    _hb("compiled; measuring")
     reps = 10
     t0 = time.perf_counter()
     for _ in range(reps):
@@ -201,6 +262,7 @@ def bench_gan_eval_mpix() -> float:
                                 train=False)
     _sync(out)
     dt = (time.perf_counter() - t0) / reps
+    _hb("measured")
     mpix = (128 * 8) * (128 * 8) / 1e6
     return mpix / dt
 
@@ -220,15 +282,19 @@ def bench_rrdb_2k() -> float:
     lr = jnp.asarray(np.random.default_rng(0).random((1, 270, 480, 3)), jnp.float32)
     v = net.init(jax.random.key(0), jnp.zeros((1, 8, 8, 3)))
     fwd = jax.jit(lambda x: net.apply(v, x))
+    _hb("backend up")
 
+    _hb("compiling rrdb")
     out = fwd(lr)  # 1080x1920 (2K) output
     _sync(out)
+    _hb("compiled; measuring")
     reps = 3
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fwd(lr)
     _sync(out)
     dt = (time.perf_counter() - t0) / reps
+    _hb("measured")
     mpix = out.shape[1] * out.shape[2] / 1e6
     return mpix / dt
 
@@ -252,6 +318,7 @@ def bench_gan_train_patches() -> float:
     hr_u8 = jnp.asarray(
         rng.integers(0, 256, (n_img, lh * 8, lw * 8, 3)), jnp.uint8)
     valid = jnp.full((n_img, 2), lh, jnp.int32)
+    _hb("backend up")
 
     # 300 epochs = 600 steps per dispatch: the measured knee of the
     # amortization curve (tools/ab_chunk_amortization.py, interleaved rounds,
@@ -278,11 +345,15 @@ def bench_gan_train_patches() -> float:
     # 1st call compiles; the 2nd recompiles once for the returned state's
     # device layouts (known, bounded); the 3rd is steady state.
     st = state
+    _hb("compiling gan_train")
     for i in range(2):
         _sync(run(st, jax.random.key(i)))
+        _hb(f"gan_train dispatch {i} done")
+    _hb("compiled; measuring")
     t0 = time.perf_counter()
     _sync(run(st, jax.random.key(2)))
     dt = time.perf_counter() - t0
+    _hb("measured")
     n_patches = n_epochs * (n_img // config.batch_size) * config.batch_size
     return n_patches / dt
 
@@ -303,26 +374,44 @@ _WORKERS = {
 
 
 def _worker_main(name: str, iters: int) -> None:
-    """Run one workload in this (child) process and print its value."""
+    """Run one workload in this (child) process and print its record."""
+    _hb(f"start {name}")
     if name == "dip":
-        value = bench_dip_tpu(iters)
-    elif name == "preflight":
+        rec = bench_dip_tpu(iters)
+        print(json.dumps({"worker": name, "value": rec["sec"],
+                          "psnr": rec["psnr"]}))
+        return
+    if name == "preflight":
         import jax.numpy as jnp
+        _hb("preflight backend init")
         value = _sync(jnp.ones((128, 128)) @ jnp.ones((128, 128)))
+        _hb("preflight done")
     else:
         value = _WORKERS[name]()
     print(json.dumps({"worker": name, "value": value}))
 
 
+def _last_hb(stderr_text) -> str:
+    """Extract the last worker heartbeat from captured stderr (str|bytes|None)."""
+    if not stderr_text:
+        return ""
+    if isinstance(stderr_text, bytes):
+        stderr_text = stderr_text.decode("utf-8", "replace")
+    hbs = [l for l in stderr_text.splitlines() if l.startswith("[hb]")]
+    return hbs[-1][:120] if hbs else ""
+
+
 def _run_isolated(name: str, deadline: float, iters: int = 0,
                   attempts: int = 2, timeout: int = 3000):
-    """Run a workload in a fresh subprocess; returns float or 'failed: ...'.
+    """Run a workload in a fresh subprocess; returns a record dict or
+    a 'failed: ...' / 'skipped: ...' string.
 
     A fresh process per workload keeps metrics independent (see module
     docstring) and makes one workload's crash non-fatal to the rest. One
     retry absorbs transient TPU-tunnel flakes (backend UNAVAILABLE) — but
     only if the global deadline leaves room. Every attempt's timeout is
-    clamped to the time remaining before ``deadline``.
+    clamped to the time remaining before ``deadline``. Failure strings
+    carry the worker's last heartbeat so timeouts are diagnosable.
     """
     cmd = [sys.executable, __file__, "--worker", name, "--iters", str(iters)]
     env = dict(os.environ)
@@ -346,10 +435,14 @@ def _run_isolated(name: str, deadline: float, iters: int = 0,
                 except ValueError:
                     continue
                 if rec.get("worker") == name:
-                    return float(rec["value"])
-            err = (proc.stderr.strip().splitlines() or ["no output"])[-1][-300:]
-        except subprocess.TimeoutExpired:
-            err = "timeout"
+                    rec["value"] = float(rec["value"])
+                    return rec
+            tail = (proc.stderr.strip().splitlines() or ["no output"])[-1][-300:]
+            hb = _last_hb(proc.stderr)
+            err = f"{tail}" + (f" (last hb: {hb})" if hb else "")
+        except subprocess.TimeoutExpired as exc:
+            hb = _last_hb(getattr(exc, "stderr", None))
+            err = "timeout" + (f" (last hb: {hb})" if hb else "")
             break  # a deadline-long hang means the tunnel is down; move on
     return f"failed: {err}"
 
@@ -371,7 +464,6 @@ def main():
     deadline = time.monotonic() + DEADLINE_SEC
     os.makedirs(CACHE_DIR, exist_ok=True)
 
-    dip_iters = 100 if args.quick else DIP_ITERS
     base_iters = 2 if args.quick else TORCH_BASELINE_ITERS
 
     result = {
@@ -382,7 +474,8 @@ def main():
         "extra": {
             "dip_hr_shape": [DIP_H, DIP_W],
             "dip_dtype": "bfloat16",
-            "dip_iters_measured": dip_iters,
+            "headline_quality": "pending",
+            "dip_final_psnr": "pending",
             "torch_cpu_sec_per_image_1k_iters": "pending",
             "gan_x8_eval_megapixels_per_sec_per_chip": "pending",
             "rrdb_x4_2k_megapixels_per_sec_per_chip": "pending",
@@ -395,41 +488,68 @@ def main():
         # internally consistent snapshot, no matter when we are killed
         print(json.dumps(result), flush=True)
 
+    def set_vs_baseline():
+        torch_sec = result["extra"]["torch_cpu_sec_per_image_1k_iters"]
+        if result["value"] and isinstance(torch_sec, (int, float)):
+            result["vs_baseline"] = round(torch_sec / result["value"], 2)
+
     # Fail fast and legibly when the TPU tunnel is down (observed outages:
     # backend init hangs forever rather than erroring) instead of eating
     # worker timeouts serially.
     alive = _run_isolated("preflight", deadline, timeout=480)
-    if not isinstance(alive, float):
+    if not isinstance(alive, dict):
         result["extra"]["error"] = f"tpu unavailable (preflight {alive})"
         emit()
         return
 
-    # Headline metric first: DIP seconds/image.
-    tpu_time = _run_isolated("dip", deadline, iters=dip_iters, timeout=1200)
-    if isinstance(tpu_time, float):
-        result["value"] = round(tpu_time * (DIP_ITERS / dip_iters), 3)
+    # 1) Headline within minutes: 100-iter DIP, extrapolated. Marked as an
+    # upper bound — it multiplies the per-dispatch overhead (~2-3 s over the
+    # tunnel) by 10; the exact 1000-iter run below replaces it when budget
+    # allows.
+    quick = _run_isolated("dip", deadline, iters=DIP_QUICK_ITERS, timeout=900)
+    if isinstance(quick, dict):
+        result["value"] = round(quick["value"] * (DIP_ITERS / DIP_QUICK_ITERS), 3)
+        result["extra"]["headline_quality"] = (
+            f"extrapolated x{DIP_ITERS // DIP_QUICK_ITERS} from "
+            f"{DIP_QUICK_ITERS} iters (upper bound: includes "
+            f"{DIP_ITERS // DIP_QUICK_ITERS}x per-dispatch overhead)")
+        result["extra"]["dip_final_psnr"] = {
+            f"at_{DIP_QUICK_ITERS}_iters": quick.get("psnr")}
     else:
-        result["extra"]["dip_error"] = tpu_time
+        result["extra"]["dip_error_quick"] = quick
     emit()
 
-    # Torch-CPU baseline (host-only, reliable): gives vs_baseline as soon as
-    # the headline number exists. Bounded: ~60 s/iter worst case.
+    # 2) Torch-CPU baseline (host-only, reliable): gives vs_baseline as soon
+    # as a headline number exists. Bounded: ~60 s/iter worst case.
     if deadline - time.monotonic() > 120:
         torch_sec = bench_dip_torch_cpu(base_iters) / base_iters * DIP_ITERS
         result["extra"]["torch_cpu_sec_per_image_1k_iters"] = round(torch_sec, 1)
-        if result["value"]:
-            result["vs_baseline"] = round(torch_sec / result["value"], 2)
+        set_vs_baseline()
     else:
         result["extra"]["torch_cpu_sec_per_image_1k_iters"] = "skipped: deadline"
     emit()
 
+    # 3) Remaining TPU workloads, cheapest compile first.
     for name, key in [
-        ("gan_train", "gan_train_patches_per_sec"),
         ("gan_eval", "gan_x8_eval_megapixels_per_sec_per_chip"),
         ("rrdb", "rrdb_x4_2k_megapixels_per_sec_per_chip"),
+        ("gan_train", "gan_train_patches_per_sec"),
     ]:
         v = _run_isolated(name, deadline, timeout=900)
-        result["extra"][key] = round(v, 2) if isinstance(v, float) else v
+        result["extra"][key] = round(v["value"], 2) if isinstance(v, dict) else v
+        emit()
+
+    # 4) Upgrade the headline with the exact 1000-iter measurement.
+    if not args.quick:
+        full = _run_isolated("dip", deadline, iters=DIP_ITERS, timeout=900)
+        if isinstance(full, dict):
+            result["value"] = round(full["value"], 3)
+            result["extra"]["headline_quality"] = (
+                f"measured ({DIP_ITERS} iters, single dispatch)")
+            result["extra"]["dip_final_psnr"] = full.get("psnr")
+            set_vs_baseline()
+        else:
+            result["extra"]["dip_error_full"] = full
         emit()
 
 

@@ -20,7 +20,29 @@ def _deadline(sec: float = 120.0) -> float:
 
 
 def test_echo_worker_roundtrip():
-    assert bench._run_isolated("echo", _deadline()) == 42.0
+    rec = bench._run_isolated("echo", _deadline())
+    assert isinstance(rec, dict) and rec["value"] == 42.0
+
+
+def test_last_hb_extraction():
+    assert bench._last_hb(None) == ""
+    assert bench._last_hb("no heartbeats here") == ""
+    text = "[hb] 01:02:03 start\nnoise\n[hb] 01:02:09 compiled; measuring\n"
+    assert bench._last_hb(text) == "[hb] 01:02:09 compiled; measuring"
+    assert bench._last_hb(text.encode()) == "[hb] 01:02:09 compiled; measuring"
+
+
+def test_failure_string_carries_heartbeat(tmp_path, monkeypatch):
+    # a worker that heartbeats then dies: the failure string must say where
+    bad = tmp_path / "bad.py"
+    bad.write_text(
+        "import sys\n"
+        "print('[hb] 00:00:01 compiling dip', file=sys.stderr)\n"
+        "sys.exit(3)\n")
+    monkeypatch.setattr(bench, "__file__", str(bad))
+    res = bench._run_isolated("echo", _deadline(), attempts=1)
+    assert isinstance(res, str) and res.startswith("failed:")
+    assert "compiling dip" in res
 
 
 def test_worker_failure_returns_string(monkeypatch, tmp_path):

@@ -11,8 +11,10 @@ This tool measures wall ms/step at several chunk sizes, interleaved over
 rounds to exclude drift, so bench.py's n_epochs can be set to a measured
 (not guessed) point on the amortization curve.
 """
+import os
 import sys
-sys.path.insert(0, ".")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 
 import numpy as np
@@ -46,28 +48,28 @@ def make_run(n_epochs):
 
     run = jax.jit(run_fn)
     nsteps = n_epochs * (n_img // config.batch_size)
-    return run, state, nsteps
+    return run, state, nsteps, config.batch_size
 
 
 def main():
     chunk_sizes = [100, 300, 600]
     runs = {}
     for n in chunk_sizes:
-        run, state, nsteps = make_run(n)
+        run, state, nsteps, batch = make_run(n)
         # 1st call compiles; 2nd recompiles once for the returned layouts
         for i in range(2):
             sync(run(state, jax.random.key(i)))
-        runs[n] = (run, state, nsteps)
+        runs[n] = (run, state, nsteps, batch)
         print(f"warmed n_epochs={n} ({nsteps} steps/dispatch)", flush=True)
 
     for rnd in range(2):
         order = chunk_sizes if rnd % 2 == 0 else chunk_sizes[::-1]
         for n in order:
-            run, state, nsteps = runs[n]
+            run, state, nsteps, batch = runs[n]
             t0 = time.perf_counter()
             sync(run(state, jax.random.key(2 + rnd)))
             dt = time.perf_counter() - t0
-            pps = nsteps * 8 / dt
+            pps = nsteps * batch / dt
             print(f"round {rnd} n_epochs={n:4d}: {dt*1000/nsteps:7.3f} "
                   f"ms/step wall = {pps:6.1f} patches/s", flush=True)
 

@@ -36,16 +36,17 @@ def main():
     p.add_argument("--factor", type=int, default=8)
     p.add_argument("--downsample", action="store_true",
                    help="x16 configuration: the x8 LR is bicubic-halved "
-                        "again (eval_GAN.py:132 semantics); --factor must "
-                        "be 16")
+                        "again and the factor doubles (same convention as "
+                        "cli/eval_gan.py: pass --factor 8 --downsample)")
     args = p.parse_args()
-    if args.downsample and args.factor != 16:
-        p.error("--downsample implies --factor 16")
+    # mirror cli/eval_gan.py (and eval_GAN.py:154-156): --downsample doubles
+    # the factor, so the two tools share one flag interface
+    factor = args.factor * 2 if args.downsample else args.factor
 
     dataset = GANDIV2KDataset(
         LR_dir=os.path.join(args.data_dir, f"DIV2K_{args.split}_LR_x8/"),
         HR_dir=os.path.join(args.data_dir, f"DIV2K_{args.split}_HR/"),
-        scale_factor=args.factor, downsample=args.downsample, train=False)
+        scale_factor=factor, downsample=args.downsample, train=False)
 
     psnrs, ssims = [], []
     for lr, hr, name in dataset:
