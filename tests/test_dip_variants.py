@@ -26,6 +26,77 @@ def test_lbfgs_optimizer_improves_loss():
     assert losses[-1] < losses[0]
 
 
+def test_lbfgs_fixed_step_matches_torch():
+    """Golden: lbfgs_fixed_step_tx reproduces torch.optim.LBFGS with
+    line_search_fn=None (the reference's configuration, utils/DIP.py:30:
+    lr is a FIXED step; tolerance_grad/_change=-1 disable early exits).
+
+    Small dense least-squares problem, identical f32 init on both sides;
+    parameter trajectories compared after every iteration.
+    """
+    import torch
+
+    from tpusr.engine.dip import lbfgs_fixed_step_tx
+
+    rng = np.random.default_rng(0)
+    n, m = 12, 8
+    A = rng.standard_normal((n, m)).astype(np.float32)
+    b = rng.standard_normal((n,)).astype(np.float32)
+    x0 = rng.standard_normal((m,)).astype(np.float32)
+    lr_step, mem, iters = 0.7, 10, 15
+
+    # torch side: one .step(closure) call runs max_iter iterations
+    xt = torch.tensor(x0, requires_grad=True)
+    At, bt = torch.tensor(A), torch.tensor(b)
+    opt = torch.optim.LBFGS([xt], lr=lr_step, max_iter=iters,
+                            history_size=mem, line_search_fn=None,
+                            tolerance_grad=-1, tolerance_change=-1)
+    traj_torch = []
+
+    def closure():
+        opt.zero_grad()
+        loss = torch.sum((At @ xt - bt) ** 2)
+        loss.backward()
+        traj_torch.append(xt.detach().clone().numpy())
+        return loss
+
+    opt.step(closure)
+
+    # jax side
+    Aj, bj = jnp.asarray(A), jnp.asarray(b)
+    loss_fn = lambda x: jnp.sum((Aj @ x - bj) ** 2)
+    tx = lbfgs_fixed_step_tx(lr_step, mem)
+    x = jnp.asarray(x0)
+    state = tx.init(x)
+    import optax
+
+    for i in range(iters):
+        g = jax.grad(loss_fn)(x)
+        updates, state = tx.update(g, state, x)
+        x = optax.apply_updates(x, updates)
+        # traj_torch[i] is the params BEFORE torch's i-th update; compare
+        # our post-update x to torch's pre-update params at i+1
+        if i + 1 < len(traj_torch):
+            np.testing.assert_allclose(np.asarray(x), traj_torch[i + 1],
+                                       rtol=2e-4, atol=2e-4)
+    # endpoints agree (torch's traj records pre-update params, so its final
+    # point is xt itself) and the fixed step made real progress
+    np.testing.assert_allclose(np.asarray(x), xt.detach().numpy(),
+                               rtol=2e-4, atol=2e-4)
+    assert float(loss_fn(x)) < float(loss_fn(jnp.asarray(x0))) * 0.1
+
+
+def test_lbfgs_fixed_engine_mode_improves_loss():
+    lr, hr = _make_pair(h=32, w=32)
+    cfg = _cfg(optimizer="lbfgs", lbfgs_line_search="fixed", num_iter=20,
+               log_freq=10, reg_noise_std=0.0, learning_rate=0.5)
+    resolved, curves = dip_superresolve(lr, hr, jax.random.key(0), cfg)
+    losses = np.asarray(curves["loss"])
+    assert resolved.shape == hr.shape
+    assert np.all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
 def test_meshgrid_input():
     lr, hr = _make_pair(h=32, w=32)
     cfg = _cfg(input_method="meshgrid", input_depth=2, num_iter=20, log_freq=10)

@@ -205,6 +205,12 @@ def build_parser() -> argparse.ArgumentParser:
     # lbfgs / meshgrid / input,down as code-level options)
     parser.add_argument("--optimizer", type=str, default="adam",
                         choices=["adam", "lbfgs"])
+    parser.add_argument("--lbfgs_line_search", type=str, default="zoom",
+                        choices=["zoom", "fixed"],
+                        help="'fixed' = torch-exact LBFGS stepping (lr as a "
+                             "fixed step, no linesearch — utils/DIP.py:30 "
+                             "parity); 'zoom' = strong-Wolfe linesearch "
+                             "(better conditioned; supersedes lr)")
     parser.add_argument("--input_method", type=str, default="noise",
                         choices=["noise", "meshgrid"])
     parser.add_argument("--opt_over", type=str, default="net",
@@ -266,6 +272,7 @@ def run(argv=None):
         skip_n11=args.skip_n11,
         dtype=args.dtype,
         optimizer=args.optimizer,
+        lbfgs_line_search=args.lbfgs_line_search,
         input_method=args.input_method,
         opt_over=args.opt_over,
         resolve_clean=args.resolve_clean,

@@ -66,6 +66,11 @@ class DIPConfig:
     # reference making its downsampler conv weights require grad
     opt_over: str = "net"
     lbfgs_memory: int = 10
+    # 'zoom' (default): optax strong-Wolfe zoom linesearch — better
+    # conditioned, but it supersedes learning_rate. 'fixed': torch-exact
+    # stepping (utils/DIP.py:30 passes lr as torch LBFGS's FIXED step with
+    # line_search_fn=None) — the parity mode for reference LBFGS runs.
+    lbfgs_line_search: str = "zoom"
     # The reference resolves the final image with the LAST reg-noise draw
     # still applied (DIP.py:102). resolve_clean=True uses the un-noised
     # input instead — usually slightly better PSNR (opt-in divergence).
@@ -74,6 +79,95 @@ class DIPConfig:
     # 'off' forces pure XLA. The vmapped batch path forces 'off' (pallas
     # batching under vmap-over-params is not exercised).
     conv_fusion: str = "auto"
+
+
+def lbfgs_fixed_step_tx(learning_rate: float,
+                        memory_size: int) -> optax.GradientTransformation:
+    """Torch-exact L-BFGS stepping: fixed step size, no line search.
+
+    Reproduces ``torch.optim.LBFGS(lr, line_search_fn=None)`` exactly as the
+    reference uses it (utils/DIP.py:19-31 with tolerance_grad=-1,
+    tolerance_change=-1, so the tolerance early-exits never trigger):
+
+      * two-loop recursion over a flat parameter vector with
+        H_diag = y.s/y.y recomputed ONLY when the curvature condition
+        y.s > 1e-10 admits the new (s, y) pair (torch/optim/lbfgs.py);
+      * s is the step actually taken (prev_d * prev_t), y the grad diff;
+      * step size t = lr on every iteration EXCEPT the first, where torch
+        takes t = min(1, 1/||g||_1) * lr.
+
+    Not built on ``optax.scale_by_lbfgs``: that transform seeds its memory
+    from a zero-initialized state (first pair s=params, y=grads), so its
+    first two directions diverge from torch's (measured; its zoom-linesearch
+    consumer doesn't care about direction scale, we do). Golden-tested
+    against torch.optim.LBFGS trajectories in tests/test_dip_variants.py.
+    Update takes plain grads — no value/value_fn plumbing.
+
+    Invalid memory slots hold s=y=0 and rho=0, which makes their two-loop
+    contributions exactly zero — no masking needed.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        n = flat.shape[0]
+        z = jnp.zeros((memory_size, n), jnp.float32)
+        return {
+            "s_mem": z, "y_mem": z, "rho": jnp.zeros((memory_size,)),
+            "prev_g": jnp.zeros((n,)), "prev_d": jnp.zeros((n,)),
+            "prev_t": jnp.zeros(()), "h_diag": jnp.ones(()),
+            "count": jnp.zeros((), jnp.int32),
+        }
+
+    def update(grads, state, params=None):
+        del params
+        g_raw, unravel = ravel_pytree(grads)
+        g = g_raw.astype(jnp.float32)
+        first = state["count"] == 0
+
+        # memory admission (iterations >= 2 in torch numbering)
+        y = g - state["prev_g"]
+        s = state["prev_d"] * state["prev_t"]
+        ys = jnp.vdot(y, s)
+        good = jnp.logical_and(jnp.logical_not(first), ys > 1e-10)
+
+        def admit(m, new_row):
+            rolled = jnp.roll(m, -1, axis=0).at[-1].set(new_row)
+            return jnp.where(good, rolled, m)
+
+        s_mem = admit(state["s_mem"], s)
+        y_mem = admit(state["y_mem"], y)
+        rho = jnp.where(
+            good,
+            jnp.roll(state["rho"], -1).at[-1].set(1.0 / jnp.where(good, ys, 1.0)),
+            state["rho"])
+        h_diag = jnp.where(good, ys / jnp.vdot(y, y),
+                           jnp.where(first, 1.0, state["h_diag"]))
+
+        # two-loop recursion, statically unrolled over the memory buffer
+        q = -g
+        al = [None] * memory_size
+        for i in reversed(range(memory_size)):
+            al[i] = rho[i] * jnp.vdot(s_mem[i], q)
+            q = q - al[i] * y_mem[i]
+        r = h_diag * q
+        for i in range(memory_size):
+            be = rho[i] * jnp.vdot(y_mem[i], r)
+            r = r + (al[i] - be) * s_mem[i]
+        d = r
+
+        t = jnp.where(first,
+                      jnp.minimum(1.0, 1.0 / jnp.sum(jnp.abs(g)))
+                      * learning_rate,
+                      learning_rate)
+        new_state = {
+            "s_mem": s_mem, "y_mem": y_mem, "rho": rho,
+            "prev_g": g, "prev_d": d, "prev_t": t, "h_diag": h_diag,
+            "count": state["count"] + 1,
+        }
+        return unravel((t * d).astype(g_raw.dtype)), new_state
+
+    return optax.GradientTransformation(init, update)
 
 
 def _build(config: DIPConfig) -> tuple[SkipNet, Downsampler]:
@@ -282,16 +376,34 @@ def _dip_core(
         # line_search_fn=None), while optax's strong-Wolfe search picks the
         # step per iteration — better-conditioned, divergence in PARITY.md.
         det_loss = lambda t: loss_fn(t, stats, None)[0]
-        tx = optax.lbfgs(memory_size=config.lbfgs_memory)
-        vg = optax.value_and_grad_from_state(det_loss)
+        if config.lbfgs_line_search == "fixed":
+            # torch-exact parity mode: lr as the FIXED step, no linesearch
+            # (utils/DIP.py:30; see lbfgs_fixed_step_tx)
+            ftx = lbfgs_fixed_step_tx(config.learning_rate,
+                                      config.lbfgs_memory)
 
-        def lbfgs_iter(carry, _):
-            t, opt = carry
-            value, grads = vg(t, state=opt)
-            updates, opt = tx.update(grads, opt, t, value=value, grad=grads,
-                                     value_fn=det_loss)
-            t = optax.apply_updates(t, updates)
-            return (t, opt), value
+            def lbfgs_iter(carry, _):
+                t, opt = carry
+                value, grads = jax.value_and_grad(det_loss)(t)
+                updates, opt = ftx.update(grads, opt, t)
+                t = optax.apply_updates(t, updates)
+                return (t, opt), value
+
+            tx = ftx
+        elif config.lbfgs_line_search == "zoom":
+            tx = optax.lbfgs(memory_size=config.lbfgs_memory)
+            vg = optax.value_and_grad_from_state(det_loss)
+
+            def lbfgs_iter(carry, _):
+                t, opt = carry
+                value, grads = vg(t, state=opt)
+                updates, opt = tx.update(grads, opt, t, value=value,
+                                         grad=grads, value_fn=det_loss)
+                t = optax.apply_updates(t, updates)
+                return (t, opt), value
+        else:
+            raise ValueError(
+                f"unknown lbfgs_line_search {config.lbfgs_line_search!r}")
 
         def lchunk(carry, _):
             t, opt = carry
