@@ -59,13 +59,16 @@ def test_tiled_forward_uneven_height(gen_state):
                                atol=2e-5, rtol=1e-5)
 
 
-def test_sharded_halo_forward_interior_exact(gen_state):
+def test_sharded_halo_forward_interior_exact_fallback(gen_state):
+    # slab (16) < 2*halo (24): the legacy zero-filled-edge path, warned;
+    # interior stays exact
     mesh = make_mesh({"spatial": 4})
     x = _image(64, 16, seed=1)
     full = generator_forward(gen_state.params_G, gen_state.stats_G, x, CFG,
                              train=False)
-    sharded = sharded_generator_forward(
-        gen_state.params_G, gen_state.stats_G, x, CFG, mesh=mesh, halo=12)
+    with pytest.warns(UserWarning, match="interior-exact only"):
+        sharded = sharded_generator_forward(
+            gen_state.params_G, gen_state.stats_G, x, CFG, mesh=mesh, halo=12)
     assert sharded.shape == full.shape
     f = CFG.factor
     # interior (away from the true top/bottom edge by halo*f) is exact
@@ -74,30 +77,66 @@ def test_sharded_halo_forward_interior_exact(gen_state):
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
 
 
+def test_sharded_halo_forward_edge_exact(gen_state):
+    # slab (24) >= 2*halo (24): edge shards shift inward -> FULL-image
+    # equality with the monolithic forward, true edges included
+    mesh = make_mesh({"spatial": 4})
+    x = _image(96, 16, seed=2)
+    full = generator_forward(gen_state.params_G, gen_state.stats_G, x, CFG,
+                             train=False)
+    sharded = sharded_generator_forward(
+        gen_state.params_G, gen_state.stats_G, x, CFG, mesh=mesh, halo=12)
+    assert sharded.shape == full.shape
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_halo_forward_8way_edge_exact(gen_state):
+    # the full 8-device virtual mesh, slab 24 = 2*halo
+    mesh = make_mesh({"spatial": 8})
+    x = _image(192, 8, seed=5)
+    full = generator_forward(gen_state.params_G, gen_state.stats_G, x, CFG,
+                             train=False)
+    sharded = sharded_generator_forward(
+        gen_state.params_G, gen_state.stats_G, x, CFG, mesh=mesh, halo=12)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_sharded_single_shard_is_plain_forward(gen_state):
+    mesh = make_mesh({"spatial": 1})
+    x = _image(32, 8, seed=6)
+    full = generator_forward(gen_state.params_G, gen_state.stats_G, x, CFG,
+                             train=False)
+    sharded = sharded_generator_forward(
+        gen_state.params_G, gen_state.stats_G, x, CFG, mesh=mesh, halo=12)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
+
+
 def test_spatial_x16_tiled_and_halo_interior_exact():
     """The x16 configuration's halo geometry (4-shuffle generator,
     eval_GAN.py:132 path): output offsets scale by factor 16, so a halo
     error would displace by 16 HR rows — exactness here pins the geometry."""
     cfg16 = GANTrainConfig(factor=16, residual_blocks_count=2, hr_patch=64)
     state = create_gan_state(jax.random.key(3), cfg16, 1e-4)
-    x = _image(64, 8, seed=4)
+    x = _image(96, 8, seed=4)
     full = generator_forward(state.params_G, state.stats_G, x, cfg16,
                              train=False)
-    assert full.shape == (1, 64 * 16, 8 * 16, 3)
+    assert full.shape == (1, 96 * 16, 8 * 16, 3)
 
     tiled = tiled_generator_forward(state.params_G, state.stats_G, x,
                                     cfg16, n_tiles=4, halo=12)
     np.testing.assert_allclose(np.asarray(tiled), np.asarray(full),
                                atol=2e-5, rtol=1e-5)
 
+    # slab 24 = 2*halo: the sharded path is edge-exact -> full equality
     mesh = make_mesh({"spatial": 4})
     sharded = sharded_generator_forward(
         state.params_G, state.stats_G, x, cfg16, mesh=mesh, halo=12)
     assert sharded.shape == full.shape
-    f = cfg16.factor
-    got = np.asarray(sharded)[:, 12 * f:-12 * f]
-    want = np.asarray(full)[:, 12 * f:-12 * f]
-    np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(full),
+                               atol=2e-5, rtol=1e-5)
 
 
 def test_dp_gan_step_matches_single_device():

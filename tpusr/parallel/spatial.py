@@ -13,9 +13,12 @@ inputs scale two ways (SURVEY.md §2.3, §5 long-context row):
   * ``sharded_generator_forward`` — shard_map over a 'spatial' mesh axis:
     each device holds an H-slab, halo rows are exchanged with neighbors via
     ``lax.ppermute`` (ICI traffic only), the generator runs per-slab, and the
-    upscaled cores concatenate across the mesh. Interior-exact; within a
-    receptive field of the true top/bottom edge the zero-filled halo is an
-    approximation (documented).
+    upscaled cores concatenate across the mesh. EXACT (incl. the true image
+    edges) when slab >= 2*halo: edge shards shift their window inward (same
+    clamped-window geometry as the tiled path) using one extra single-pair
+    ppermute, so the generator's zero padding lands exactly on the true
+    image boundary. When halo <= slab < 2*halo it falls back to the legacy
+    zero-filled edge halo (interior-exact only, warned).
 
 Generator receptive field at LR: stem k9 (4) + 2*k3 per residual block +
 post k3 (1) => 4 + 4*n_res/2... conservatively 2*n_res + 6; halo defaults
@@ -108,6 +111,9 @@ def sharded_generator_forward(
     _, h, w, _ = lr_image.shape
     if h % n != 0:
         raise ValueError(f"image height {h} not divisible by {n} shards")
+    if n == 1:
+        return generator_forward(params_G, stats_G, lr_image, config,
+                                 train=False)
     slab = h // n
     if halo > slab:
         # ppermute exchanges at most one full neighbor slab; clamping below
@@ -121,10 +127,20 @@ def sharded_generator_forward(
             f"shards or tiled_generator_forward for exact output.",
             stacklevel=2)
         halo = slab
+    edge_exact = 2 * halo <= slab
+    if not edge_exact:
+        import warnings
+
+        warnings.warn(
+            f"slab height {slab} < 2*halo ({2 * halo}): edge shards cannot "
+            f"shift their window inward, falling back to zero-filled edge "
+            f"halos — output is interior-exact only. Use fewer shards (or "
+            f"tiled_generator_forward) for full exactness.",
+            stacklevel=2)
     f = config.factor
 
     fwd = partial(_slab_forward, config=config, halo=halo, f=f,
-                  axis=axis, n=n)
+                  axis=axis, n=n, edge_exact=edge_exact)
     shmap = jax.shard_map(
         fwd, mesh=mesh,
         in_specs=(P(), P(), P(None, axis, None, None)),
@@ -133,8 +149,19 @@ def sharded_generator_forward(
     return shmap(params_G, stats_G, lr_image)
 
 
-def _slab_forward(params_G, stats_G, slab, *, config, halo, f, axis, n):
-    """Per-device body: exchange halos, run generator, crop the core."""
+def _slab_forward(params_G, stats_G, slab, *, config, halo, f, axis, n,
+                  edge_exact):
+    """Per-device body: exchange halos, run generator, crop the core.
+
+    edge_exact=True (requires slab >= 2*halo): edge shards build an
+    inward-shifted window of REAL image rows — the same clamped-window
+    geometry as ``tiled_generator_forward`` — so the generator's per-layer
+    zero padding falls exactly on the true image boundary (a zero-filled
+    halo is NOT equivalent: after the first conv+bias+activation, zero
+    input rows become nonzero feature rows, unlike true-boundary padding).
+    The extra rows edge shards need (2*halo from their single neighbor)
+    ride one additional single-pair ppermute each.
+    """
     top_rows = slab[:, :halo]       # my top rows -> lower neighbor's bottom halo
     bottom_rows = slab[:, -halo:]   # my bottom rows -> upper neighbor's top halo
 
@@ -144,9 +171,34 @@ def _slab_forward(params_G, stats_G, slab, *, config, halo, f, axis, n):
     # receive the lower neighbor's top rows (device i <- i+1)
     from_below = lax.ppermute(top_rows, axis,
                               perm=[(i + 1, i) for i in range(n - 1)])
-    # edge devices receive zeros from the non-cyclic permute — the true image
-    # boundary approximation documented above.
 
-    padded = jnp.concatenate([from_above, slab, from_below], axis=1)
-    out = generator_forward(params_G, stats_G, padded, config, train=False)
-    return out[:, halo * f:-halo * f if halo else None]
+    if not edge_exact:
+        # legacy fallback: zero-filled halos at the true image edges
+        padded = jnp.concatenate([from_above, slab, from_below], axis=1)
+        out = generator_forward(params_G, stats_G, padded, config, train=False)
+        return out[:, halo * f:-halo * f if halo else None]
+
+    # second (single-pair) exchanges: device 0 also needs its neighbor's
+    # rows [halo:2halo); device n-1 its neighbor's rows [-2halo:-halo)
+    from_below2 = lax.ppermute(slab[:, halo:2 * halo], axis, perm=[(1, 0)])
+    from_above2 = lax.ppermute(slab[:, -2 * halo:-halo], axis,
+                               perm=[(n - 2, n - 1)])
+
+    # one (slab + 4*halo)-row strip; every device's window is a
+    # (slab + 2*halo)-row dynamic slice of it:
+    #   interior i: start=halo   -> rows [i*slab - halo, (i+1)*slab + halo)
+    #   top (0):    start=2*halo -> rows [0, slab + 2*halo)        true edge
+    #   bottom:     start=0      -> rows [h - slab - 2*halo, h)    true edge
+    strip = jnp.concatenate(
+        [from_above2, from_above, slab, from_below, from_below2], axis=1)
+    slab_h = slab.shape[1]  # static per-device slab height
+    idx = lax.axis_index(axis)
+    is_top = idx == 0
+    is_bottom = idx == n - 1
+    start = jnp.where(is_top, 2 * halo, jnp.where(is_bottom, 0, halo))
+    window = lax.dynamic_slice_in_dim(strip, start, slab_h + 2 * halo, axis=1)
+
+    out = generator_forward(params_G, stats_G, window, config, train=False)
+    # core offset inside the upscaled window mirrors the window shift
+    core_off = jnp.where(is_top, 0, jnp.where(is_bottom, 2 * halo, halo)) * f
+    return lax.dynamic_slice_in_dim(out, core_off, slab_h * f, axis=1)
