@@ -243,6 +243,42 @@ def test_train_step_with_bf16_d_moments():
     assert not np.allclose(np.asarray(d0), np.asarray(d1))
 
 
+def test_train_step_with_bf16_d_params():
+    """d_params='bf16' (A/B-gated): LARGE D weights stored bf16 (dense1 +
+    wide convs), small leaves (BN affines, biases) stay f32, update math
+    f32 via apply_updates' cast-back; the step runs with finite losses in
+    the same ballpark as the f32 run, and the .pth export is f32 numpy."""
+    import dataclasses
+
+    from tpusr.io.checkpoint import export_torch_discriminator
+
+    cfg = dataclasses.replace(CFG, d_params="bf16")
+    state = create_gan_state(jax.random.key(4), cfg, 1e-4)
+    assert state.params_D["dense1"]["Dense_0"]["kernel"].dtype == jnp.bfloat16
+    assert state.params_D["dense1"]["Dense_0"]["bias"].dtype == jnp.float32
+    assert state.params_D["block0_bn"]["scale"].dtype == jnp.float32
+    # G untouched
+    assert all(l.dtype != jnp.bfloat16
+               for l in jax.tree.leaves(state.params_G))
+
+    lr, hr = _batch()
+    s_bf, logs_bf = gan_train_step(state, lr, hr, cfg, 1e-4)
+    assert s_bf.params_D["dense1"]["Dense_0"]["kernel"].dtype == jnp.bfloat16
+
+    s32 = create_gan_state(jax.random.key(4), CFG, 1e-4)
+    _, logs_32 = gan_train_step(s32, lr, hr, CFG, 1e-4)
+    for k in ("loss_D", "loss_G"):
+        assert np.isfinite(float(logs_bf[k]))
+        # same init quantized to bf16: first-step losses agree loosely
+        np.testing.assert_allclose(float(logs_bf[k]), float(logs_32[k]),
+                                   rtol=0.05)
+
+    sd = export_torch_discriminator(s_bf.params_D, s_bf.stats_D,
+                                    hr_patch=cfg.hr_patch)
+    assert all(v.dtype == np.float32 for k, v in sd.items()
+               if "num_batches_tracked" not in k)
+
+
 def test_resume_across_moment_dtypes(tmp_path):
     """A checkpoint written with f32 D moments (pre-round-4 default) resumes
     into a bf16-moment state: load_checkpoint casts leaves to the target's

@@ -212,6 +212,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "moments (default bf16: +6% step throughput, "
                              "loss-neutral — PARITY.md; f32 restores "
                              "torch-exact optimizer state dtypes)")
+    parser.add_argument("--d_params", type=str, default=None,
+                        choices=["bf16", "f32"],
+                        help="storage dtype of the discriminator's LARGE "
+                             "weights (>=1M elems; update math stays f32). "
+                             "The D step is weight-streaming bound — bf16 "
+                             "halves the dense-head/Adam HBM streams")
     parser.add_argument("--profile_dir", type=str)
     parser.add_argument("--data_parallel", type=str2bool, default=False,
                         help="shard the patch batch over all devices "
@@ -256,6 +262,7 @@ def run(argv=None):
         adv_weight=args.adv_weight,
         dtype=None if args.dtype == "float32" else args.dtype,
         **({"d_moments": args.d_moments} if args.d_moments else {}),
+        **({"d_params": args.d_params} if args.d_params else {}),
     )
 
     vgg = try_load_vgg19()

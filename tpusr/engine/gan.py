@@ -40,6 +40,7 @@ _D_CONCAT_DEFAULT = _os.environ.get("TPUSR_D_CONCAT", "1") != "0"
 _G_FUSE_DEFAULT = {"0": "off", "train": "train"}.get(
     _os.environ.get("TPUSR_G_FUSE", "1"), "eval")
 _D_MOMENTS_DEFAULT = _os.environ.get("TPUSR_D_MOMENTS", "bf16")
+_D_PARAMS_DEFAULT = _os.environ.get("TPUSR_D_PARAMS", "f32")
 
 
 @dataclasses.dataclass(frozen=True)
@@ -93,6 +94,32 @@ class GANTrainConfig:
     # trajectories stay bit-identical). Env TPUSR_D_MOMENTS seeds the
     # default at import (A/B tooling); --d_moments on the CLI.
     d_moments: str = _D_MOMENTS_DEFAULT  # 'bf16' | 'f32'
+    # Storage dtype of the DISCRIMINATOR's LARGE weights (leaves >= 1M
+    # elements: the 75.5M dense-1 kernel + the two widest conv kernels —
+    # ~79M of D's 80M params). The D step is weight-streaming bound: the
+    # dense kernel is read by BOTH the forward and dgrad GEMMs and then by
+    # Adam (DESIGN.md "D dense head at its bandwidth floor"); storing it
+    # bf16 halves every one of those streams. Update math stays f32
+    # (optax.apply_updates computes p+u in f32 and casts back; requires
+    # d_moments='bf16' whose EMA math is f32 — plain optax.adam would run
+    # its moment math in the params' bf16). Small leaves (BN affines,
+    # biases, thin convs) stay f32. A/B-gated like d_moments was;
+    # env TPUSR_D_PARAMS seeds the default, --d_params on the CLI.
+    d_params: str = _D_PARAMS_DEFAULT  # 'f32' | 'bf16'
+
+
+# d_params='bf16' casts only leaves at least this big (the traffic win);
+# BN affines / biases / small conv kernels keep full precision
+_D_PARAMS_BF16_MIN_SIZE = 1 << 20
+
+
+def _cast_large_d_params(params_D, d_params: str):
+    if d_params == "f32":
+        return params_D
+    assert d_params == "bf16", d_params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(jnp.bfloat16)
+        if p.size >= _D_PARAMS_BF16_MIN_SIZE else p, params_D)
 
 
 def _adam(learning_rate: float, moments: str = "f32"):
@@ -194,6 +221,11 @@ def create_gan_state(
     if params_D is None:
         vd = d.init(kd, jnp.zeros((1, config.hr_patch, config.hr_patch, 3)))
         params_D, stats_D = vd["params"], vd["batch_stats"]
+    if config.d_params == "bf16":
+        # f32 moment math is mandatory when params are bf16 (see d_params)
+        assert config.d_moments == "bf16", \
+            "d_params='bf16' requires d_moments='bf16' (f32 update math)"
+    params_D = _cast_large_d_params(params_D, config.d_params)
     tx_g = _adam(learning_rate)
     tx_d = _adam(learning_rate, config.d_moments)
     return GANTrainState(

@@ -209,6 +209,13 @@ def _conv_out(tree) -> dict:
     }
 
 
+def _tree_f32(tree):
+    """Cast all leaves to f32 numpy (torch.from_numpy rejects ml_dtypes
+    bfloat16 — d_params='bf16' states export at full precision)."""
+    return jax.tree_util.tree_map(
+        lambda p: np.asarray(p).astype(np.float32), tree)
+
+
 def _put_conv(sd: dict, tkey: str, tree) -> None:
     c = _conv_out(tree)
     sd[f"{tkey}.weight"] = c["weight"]
@@ -231,6 +238,7 @@ def export_torch_generator(params: dict, stats: dict,
     Pass through ``torch.save({k: torch.from_numpy(v), ...})`` for a .pth the
     reference's load_model accepts.
     """
+    params, stats = _tree_f32(params), _tree_f32(stats)
     sd: dict[str, np.ndarray] = {}
     _put_conv(sd, "conv1", params["conv1"])
     sd["prelu1.weight"] = np.asarray(params["prelu1"]["alpha"])
@@ -258,6 +266,7 @@ def export_torch_discriminator(params: dict, stats: dict, hr_patch: int = 192) -
     row permutation. Parity target: save_model(pre_trained_D, ...) at
     train_GAN.py:188.
     """
+    params, stats = _tree_f32(params), _tree_f32(stats)
     sd: dict[str, np.ndarray] = {}
     _put_conv(sd, "conv", params["conv"])
     for i in range(7):
