@@ -20,9 +20,19 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_worker(tapsum: str) -> float:
+# variant name -> env overrides (both routes carry disjoint shape gates, so
+# "both" routes tapsum at 128->256 and im2col at 64->128 / 256->512)
+VARIANTS = {
+    "off": {"TPUSR_CONV_TAPSUM": "0", "TPUSR_CONV_IM2COL": "0"},
+    "tapsum": {"TPUSR_CONV_TAPSUM": "1", "TPUSR_CONV_IM2COL": "0"},
+    "im2col": {"TPUSR_CONV_TAPSUM": "0", "TPUSR_CONV_IM2COL": "1"},
+    "both": {"TPUSR_CONV_TAPSUM": "1", "TPUSR_CONV_IM2COL": "1"},
+}
+
+
+def run_worker(variant: str) -> float:
     env = dict(os.environ)
-    env["TPUSR_CONV_TAPSUM"] = tapsum
+    env.update(VARIANTS[variant])
     env.setdefault("JAX_COMPILATION_CACHE_DIR", ".jax_cache")
     env.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
     proc = subprocess.run(
@@ -40,12 +50,15 @@ def run_worker(tapsum: str) -> float:
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--variants", default="off,tapsum",
+                    help=f"comma list from {sorted(VARIANTS)}")
     args = ap.parse_args()
+    names = args.variants.split(",")
 
     for r in range(args.rounds):
-        for m in (["0", "1"] if r % 2 == 0 else ["1", "0"]):
+        for m in (names if r % 2 == 0 else names[::-1]):
             pps = run_worker(m)
-            print(f"round {r} tapsum={m}: {pps:.1f} patches/s", flush=True)
+            print(f"round {r} conv_wide={m}: {pps:.1f} patches/s", flush=True)
 
 
 if __name__ == "__main__":
