@@ -170,10 +170,14 @@ def test_d_concat_step_matches_sequential_step():
     import dataclasses
 
     lr, hr = _batch()
-    state = create_gan_state(jax.random.key(7), CFG, 1e-4)
+    # strict route-equality property: pin f32 D weights (the routed bf16
+    # default stores wide-conv weights bf16, which moves the seq-vs-concat
+    # agreement from f32 to bf16 roundoff)
+    cfg32 = dataclasses.replace(CFG, d_params="f32")
+    state = create_gan_state(jax.random.key(7), cfg32, 1e-4)
 
-    cfg_seq = dataclasses.replace(CFG, d_concat=False)
-    cfg_cat = dataclasses.replace(CFG, d_concat=True)
+    cfg_seq = dataclasses.replace(cfg32, d_concat=False)
+    cfg_cat = dataclasses.replace(cfg32, d_concat=True)
     s_seq, logs_seq = gan_train_step(state, lr, hr, cfg_seq, 1e-4)
     s_cat, logs_cat = gan_train_step(state, lr, hr, cfg_cat, 1e-4)
 
@@ -225,7 +229,8 @@ def test_train_step_with_bf16_d_moments():
     cfg = CFG
     assert cfg.d_moments == "bf16"  # the routed default
     s_f32 = create_gan_state(
-        jax.random.key(4), dataclasses.replace(cfg, d_moments="f32"), 1e-4)
+        jax.random.key(4),
+        dataclasses.replace(cfg, d_moments="f32", d_params="f32"), 1e-4)
     assert all(getattr(l, "dtype", None) != jnp.bfloat16
                for l in jax.tree.leaves(s_f32.opt_D))
     state = create_gan_state(jax.random.key(4), cfg, 1e-4)
@@ -244,15 +249,18 @@ def test_train_step_with_bf16_d_moments():
 
 
 def test_train_step_with_bf16_d_params():
-    """d_params='bf16' (A/B-gated): LARGE D weights stored bf16 (dense1 +
-    wide convs), small leaves (BN affines, biases) stay f32, update math
-    f32 via apply_updates' cast-back; the step runs with finite losses in
-    the same ballpark as the f32 run, and the .pth export is f32 numpy."""
+    """d_params='bf16' (the ROUTED default since its round-5 full-step A/B
+    win, docs/evidence_r5/ab_d_params.log): LARGE D weights stored bf16
+    (dense1 + wide convs), small leaves (BN affines, biases) stay f32,
+    update math f32 via apply_updates' cast-back; the step runs with finite
+    losses in the same ballpark as the explicit --d_params f32 run, and the
+    .pth export is f32 numpy."""
     import dataclasses
 
     from tpusr.io.checkpoint import export_torch_discriminator
 
     cfg = dataclasses.replace(CFG, d_params="bf16")
+    cfg32 = dataclasses.replace(CFG, d_params="f32")
     state = create_gan_state(jax.random.key(4), cfg, 1e-4)
     assert state.params_D["dense1"]["Dense_0"]["kernel"].dtype == jnp.bfloat16
     assert state.params_D["dense1"]["Dense_0"]["bias"].dtype == jnp.float32
@@ -265,8 +273,9 @@ def test_train_step_with_bf16_d_params():
     s_bf, logs_bf = gan_train_step(state, lr, hr, cfg, 1e-4)
     assert s_bf.params_D["dense1"]["Dense_0"]["kernel"].dtype == jnp.bfloat16
 
-    s32 = create_gan_state(jax.random.key(4), CFG, 1e-4)
-    _, logs_32 = gan_train_step(s32, lr, hr, CFG, 1e-4)
+    s32 = create_gan_state(jax.random.key(4), cfg32, 1e-4)
+    assert s32.params_D["dense1"]["Dense_0"]["kernel"].dtype == jnp.float32
+    _, logs_32 = gan_train_step(s32, lr, hr, cfg32, 1e-4)
     for k in ("loss_D", "loss_G"):
         assert np.isfinite(float(logs_bf[k]))
         # same init quantized to bf16: first-step losses agree loosely
@@ -287,7 +296,7 @@ def test_resume_across_moment_dtypes(tmp_path):
 
     from tpusr.io.checkpoint import load_checkpoint, save_checkpoint
 
-    cfg32 = dataclasses.replace(CFG, d_moments="f32")
+    cfg32 = dataclasses.replace(CFG, d_moments="f32", d_params="f32")
     s32 = create_gan_state(jax.random.key(7), cfg32, 1e-4)
     # one step so the moments are non-zero
     lr, hr = _batch()

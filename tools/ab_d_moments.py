@@ -46,7 +46,10 @@ import numpy as np
 import jax, jax.numpy as jnp
 from tpusr.engine.gan import GANTrainConfig, create_gan_state
 from tpusr.engine.gan_epochs import gan_train_epochs
-config = GANTrainConfig(factor=8, dtype="bfloat16", d_moments="{moments}")
+# pair d_params with the moment dtype (bf16 weight storage requires the f32
+# update math that only the bf16-moment transform provides)
+config = GANTrainConfig(factor=8, dtype="bfloat16", d_moments="{moments}",
+                        d_params="{moments}")
 state = create_gan_state(jax.random.key(0), config, config.pre_train_lr)
 rng = np.random.default_rng(0)
 n_img, lh, lw = 16, 96, 96

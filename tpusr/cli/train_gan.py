@@ -217,7 +217,10 @@ def build_parser() -> argparse.ArgumentParser:
                         help="storage dtype of the discriminator's LARGE "
                              "weights (>=1M elems; update math stays f32). "
                              "The D step is weight-streaming bound — bf16 "
-                             "halves the dense-head/Adam HBM streams")
+                             "halves the dense-head/Adam HBM streams "
+                             "(default bf16: +8% step throughput, endpoint-"
+                             "quality parity — PARITY.md; f32 restores "
+                             "torch-exact weight dtypes)")
     parser.add_argument("--profile_dir", type=str)
     parser.add_argument("--data_parallel", type=str2bool, default=False,
                         help="shard the patch batch over all devices "
@@ -262,7 +265,11 @@ def run(argv=None):
         adv_weight=args.adv_weight,
         dtype=None if args.dtype == "float32" else args.dtype,
         **({"d_moments": args.d_moments} if args.d_moments else {}),
-        **({"d_params": args.d_params} if args.d_params else {}),
+        # bf16 weight storage requires f32 update math (= bf16 moments with
+        # their f32 EMA), so an explicit --d_moments f32 without --d_params
+        # drops the weight storage back to f32 too rather than asserting
+        **({"d_params": args.d_params} if args.d_params
+           else {"d_params": "f32"} if args.d_moments == "f32" else {}),
     )
 
     vgg = try_load_vgg19()

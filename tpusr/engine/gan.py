@@ -40,7 +40,14 @@ _D_CONCAT_DEFAULT = _os.environ.get("TPUSR_D_CONCAT", "1") != "0"
 _G_FUSE_DEFAULT = {"0": "off", "train": "train"}.get(
     _os.environ.get("TPUSR_G_FUSE", "1"), "eval")
 _D_MOMENTS_DEFAULT = _os.environ.get("TPUSR_D_MOMENTS", "bf16")
-_D_PARAMS_DEFAULT = _os.environ.get("TPUSR_D_PARAMS", "f32")
+# default 'bf16' ROUTED after winning its full-step A/B +8% (588.6-589.2 vs
+# 545.1-545.2 patches/s, interleaved rounds) with endpoint-quality parity
+# (13.08 vs 13.32 dB, same protocol that routed d_moments) —
+# docs/evidence_r5/ab_d_params.log, ab_d_params_quality.log. bf16 weight
+# storage requires the f32 update math only the bf16-moment transform
+# provides, so an f32-moments default (env opt-out) pairs with f32 params.
+_D_PARAMS_DEFAULT = _os.environ.get(
+    "TPUSR_D_PARAMS", "bf16" if _D_MOMENTS_DEFAULT == "bf16" else "f32")
 
 
 @dataclasses.dataclass(frozen=True)
