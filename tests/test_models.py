@@ -269,108 +269,6 @@ def test_thin_cout_conv_matches_plain():
                                    np.asarray(g_ref[1]), atol=2e-3)
 
 
-def test_tapsum_conv_matches_plain(monkeypatch):
-    """Wide-channel stride-1 zero-pad 3x3 convs (the D's 128->256/256->512
-    blocks) may take the 9-shifted-GEMM route (_conv3x3_tapsum, gated off
-    behind TPUSR_CONV_TAPSUM): forward and both custom-VJP gradients must
-    match the lax conv to f32 roundoff, and the conv_apply gate must only
-    fire for the wide stride-1 zero-pad shapes."""
-    import tpusr.models.layers as layers
-    from tpusr.models.layers import _conv3x3_tapsum, _tapsum_ok, conv_apply
-
-    monkeypatch.setattr(layers, "_CONV_TAPSUM", True)
-    assert _tapsum_ok((16, 48, 48, 128), 3, 256, 1, "zero")
-    assert _tapsum_ok((16, 24, 24, 256), 3, 512, 1, "zero")
-    assert not _tapsum_ok((16, 96, 96, 64), 3, 128, 1, "zero")  # thin Cin
-    assert not _tapsum_ok((16, 48, 48, 128), 3, 256, 2, "zero")
-    assert not _tapsum_ok((16, 48, 48, 128), 3, 256, 1, "reflection")
-    monkeypatch.setattr(layers, "_CONV_TAPSUM", False)
-    assert not _tapsum_ok((16, 48, 48, 128), 3, 256, 1, "zero")  # gated off
-
-    rng = np.random.default_rng(14)
-    for n, H, W, ci, co in [(2, 12, 10, 128, 256), (1, 8, 9, 256, 512)]:
-        x = jnp.asarray(rng.standard_normal((n, H, W, ci)), jnp.float32)
-        w = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05,
-                        jnp.float32)
-        ref = jax.lax.conv_general_dilated(
-            x, w, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        got = _conv3x3_tapsum(x, w)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=2e-3)
-        monkeypatch.setattr(layers, "_CONV_TAPSUM", True)
-        np.testing.assert_allclose(
-            np.asarray(conv_apply(x, w, 1, "zero")), np.asarray(got),
-            atol=0)
-
-        def loss_ref(x, w):
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return jnp.sum(jnp.sin(y))
-
-        def loss_tap(x, w):
-            return jnp.sum(jnp.sin(_conv3x3_tapsum(x, w)))
-
-        g_ref = jax.grad(loss_ref, (0, 1))(x, w)
-        g_tap = jax.grad(loss_tap, (0, 1))(x, w)
-        np.testing.assert_allclose(np.asarray(g_tap[0]),
-                                   np.asarray(g_ref[0]), atol=2e-3)
-        np.testing.assert_allclose(np.asarray(g_tap[1]),
-                                   np.asarray(g_ref[1]), atol=2e-2)
-
-
-def test_im2col_conv_matches_plain(monkeypatch):
-    """The single-GEMM im2col wide-conv route (_conv3x3_im2col, gated off
-    behind TPUSR_CONV_IM2COL): forward and both custom-VJP gradients match
-    the lax conv; the gate fires only for its screen-winner shapes and wins
-    priority over tapsum where both are enabled (disjoint gates)."""
-    import tpusr.models.layers as layers
-    from tpusr.models.layers import _conv3x3_im2col, _im2col_ok, conv_apply
-
-    monkeypatch.setattr(layers, "_CONV_IM2COL", True)
-    assert _im2col_ok((16, 96, 96, 64), 3, 128, 1, "zero")
-    assert _im2col_ok((16, 24, 24, 256), 3, 512, 1, "zero")
-    assert not _im2col_ok((16, 48, 48, 128), 3, 256, 1, "zero")  # tapsum's
-    assert not _im2col_ok((16, 96, 96, 64), 3, 128, 2, "zero")
-    assert not _im2col_ok((16, 96, 96, 64), 3, 128, 1, "reflection")
-    assert not _im2col_ok((16, 192, 192, 3), 3, 64, 1, "zero")  # stem
-    monkeypatch.setattr(layers, "_CONV_IM2COL", False)
-    assert not _im2col_ok((16, 96, 96, 64), 3, 128, 1, "zero")
-
-    rng = np.random.default_rng(15)
-    for n, H, W, ci, co in [(2, 12, 10, 64, 128), (1, 8, 9, 256, 512)]:
-        x = jnp.asarray(rng.standard_normal((n, H, W, ci)), jnp.float32)
-        w = jnp.asarray(rng.standard_normal((3, 3, ci, co)) * 0.05,
-                        jnp.float32)
-        ref = jax.lax.conv_general_dilated(
-            x, w, (1, 1), ((1, 1), (1, 1)),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        got = _conv3x3_im2col(x, w)
-        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
-                                   atol=2e-3)
-        monkeypatch.setattr(layers, "_CONV_IM2COL", True)
-        np.testing.assert_allclose(
-            np.asarray(conv_apply(x, w, 1, "zero")), np.asarray(got),
-            atol=0)
-
-        def loss_ref(x, w):
-            y = jax.lax.conv_general_dilated(
-                x, w, (1, 1), ((1, 1), (1, 1)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return jnp.sum(jnp.sin(y))
-
-        def loss_i2c(x, w):
-            return jnp.sum(jnp.sin(_conv3x3_im2col(x, w)))
-
-        g_ref = jax.grad(loss_ref, (0, 1))(x, w)
-        g_i2c = jax.grad(loss_i2c, (0, 1))(x, w)
-        np.testing.assert_allclose(np.asarray(g_i2c[0]),
-                                   np.asarray(g_ref[0]), atol=2e-3)
-        np.testing.assert_allclose(np.asarray(g_i2c[1]),
-                                   np.asarray(g_ref[1]), atol=2e-2)
-
-
 def test_split_conv_and_bn_match_monolithic():
     """SplitConv/SplitBatchNorm over [skip(4), trunk(128)] == monolithic
     conv/BN over the 132-channel concat (the skip-merge rewrite)."""

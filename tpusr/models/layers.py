@@ -174,12 +174,6 @@ def conv_apply(x, kernel, stride: int, pad_mode: str):
     if x.ndim == 4 and _thin_cout_ok(x.shape, k, features, stride, pad_mode):
         return _conv_thin_cout(x, kernel, pad_mode)
 
-    if x.ndim == 4 and _im2col_ok(x.shape, k, features, stride, pad_mode):
-        return _conv3x3_im2col(x, kernel)
-
-    if x.ndim == 4 and _tapsum_ok(x.shape, k, features, stride, pad_mode):
-        return _conv3x3_tapsum(x, kernel)
-
     # thin-Cin 3x3 (e.g. the SRGAN discriminator stem, 3->64 @192²): the
     # forward conv lowers fine, but XLA emits the 3-channel dgrad as a VPU
     # multiply-reduce fusion (0.4 ms/step in the GAN train trace); the
@@ -537,147 +531,6 @@ def _conv3x3_thin_bwd(pad_mode, res, g):
 
 
 _conv3x3_thin.defvjp(_conv3x3_thin_fwd, _conv3x3_thin_bwd)
-
-
-# Wide-channel tapsum routing (TPUSR_CONV_TAPSUM=1 enables), resolved once
-# at import like _CONV_FUSION_DEFAULT. OFF by default: the per-shape screen
-# (docs/evidence_r5/ab_conv_pack.log) shows the 9-shifted-GEMM form sitting
-# on the GEMM roofline where XLA's batched conv runs 35-60% below it at the
-# D's wide stride-1 3x3 shapes, but per the measurement discipline a route
-# only flips on after winning a FULL-STEP A/B (tools/ab_conv_tapsum.py).
-_CONV_TAPSUM = _os.environ.get("TPUSR_CONV_TAPSUM", "0") == "1"
-
-
-def _tapsum_ok(x_shape, k, cout, stride, pad_mode) -> bool:
-    """Route gate for _conv3x3_tapsum: the discriminator's WIDE stride-1
-    zero-pad 3x3 convs (128->256 @48², 256->512 @24²; discriminator.py:24-27).
-    Cin >= 128 excludes 64->128 @96², where the screen favored XLA's conv."""
-    return (_CONV_TAPSUM and k == 3 and stride == 1 and pad_mode == "zero"
-            and x_shape[-1] >= 128 and cout >= 128)
-
-
-@jax.custom_vjp
-def _conv3x3_tapsum(x, w):
-    """3x3 stride-1 SAME zero-pad conv as 9 shifted GEMMs (K = Cin each),
-    f32 tap accumulation.
-
-    XLA's batched conv lowering runs the GAN discriminator's wide stride-1
-    3x3 convs 35-60% below the GEMM roofline of the same math (per-shape
-    screen, docs/evidence_r5/ab_conv_pack.log): the tap loop inside the conv
-    emitter does not pipeline as well as 9 explicit MXU passes over shifted
-    views of one padded operand. The backward reuses the same structure:
-    dgrad is the mirrored tapsum against the kernel transpose; wgrad is one
-    f32-accumulated (Cin, pixels) @ (pixels, Cout) GEMM per tap."""
-    n, H, W, ci = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    acc = None
-    for u in range(3):
-        for v in range(3):
-            xs = lax.slice(xp, (0, u, v, 0), (n, u + H, v + W, ci))
-            part = lax.dot_general(xs, w[u, v], (((3,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-            acc = part if acc is None else acc + part
-    return acc.astype(x.dtype)
-
-
-def _conv3x3_tapsum_fwd(x, w):
-    return _conv3x3_tapsum(x, w), (x, w)
-
-
-def _conv3x3_tapsum_bwd(res, g):
-    x, w = res
-    n, H, W, ci = x.shape
-    gd = g.astype(x.dtype)
-    gp = jnp.pad(gd, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dx = None
-    dws = []
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    for u in range(3):
-        for v in range(3):
-            # dgrad: dx[b,i,j,c] += g[b, i+1-u, j+1-v, o] w[u,v,c,o]
-            gs = lax.slice(gp, (0, 2 - u, 2 - v, 0),
-                           (n, 2 - u + H, 2 - v + W, gd.shape[-1]))
-            part = lax.dot_general(gs, w[u, v].astype(gd.dtype),
-                                   (((3,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-            dx = part if dx is None else dx + part
-            # wgrad: dw[u,v,i,o] = sum_pixels x_shift[u,v][...,i] g[...,o]
-            xs = lax.slice(xp, (0, u, v, 0), (n, u + H, v + W, ci))
-            dws.append(jnp.einsum("bhwi,bhwo->io", xs, gd,
-                                  preferred_element_type=jnp.float32))
-    dw = jnp.stack(dws).reshape(3, 3, ci, w.shape[-1])
-    return dx.astype(x.dtype), dw.astype(w.dtype)
-
-
-_conv3x3_tapsum.defvjp(_conv3x3_tapsum_fwd, _conv3x3_tapsum_bwd)
-
-
-# Second gated wide-conv form from the same screen: ONE GEMM over an
-# explicit (B,H,W,9*Cin) patch tensor. The screen's per-shape winners are
-# non-monotonic — im2col wins 64->128 @96² (7.6 vs 5.4 TF/s) and 256->512
-# @24² (14.0 vs 5.4), tapsum wins 128->256 @48² (7.4 vs 3.3/3.6) — so the
-# two routes carry disjoint gates and the full-step A/B picks the combo.
-_CONV_IM2COL = _os.environ.get("TPUSR_CONV_IM2COL", "0") == "1"
-
-
-def _im2col_ok(x_shape, k, cout, stride, pad_mode) -> bool:
-    """Route gate for _conv3x3_im2col: the D's stride-1 zero-pad 3x3 shapes
-    where the screen's single-GEMM form beat both XLA's conv and tapsum
-    (64->128 @96², 256->512 @24²; docs/evidence_r5/ab_conv_pack.log)."""
-    ci = x_shape[-1]
-    return (_CONV_IM2COL and k == 3 and stride == 1 and pad_mode == "zero"
-            and cout >= 128 and (ci == 64 or ci >= 256))
-
-
-@jax.custom_vjp
-def _conv3x3_im2col(x, w):
-    """3x3 stride-1 SAME zero-pad conv as ONE f32-accumulated GEMM over an
-    explicit patch tensor (K = 9*Cin): all taps packed into the contraction
-    dimension, so the MXU sees a single large, well-shaped matmul instead of
-    XLA's conv emitter's internal tap loop. Backward: wgrad reuses the patch
-    structure as one (9*Cin, pixels) @ (pixels, Cout) GEMM; dgrad runs the
-    mirrored 9-GEMM tapsum (an im2col of the WIDE cotangent would build a
-    9*Cout-lane tensor for no packing benefit)."""
-    n, H, W, ci = x.shape
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    patches = jnp.concatenate(
-        [lax.slice(xp, (0, u, v, 0), (n, u + H, v + W, ci))
-         for u in range(3) for v in range(3)], axis=-1)
-    wf = w.reshape(9 * ci, w.shape[-1])
-    y = lax.dot_general(patches, wf, (((3,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-    return y.astype(x.dtype)
-
-
-def _conv3x3_im2col_fwd(x, w):
-    return _conv3x3_im2col(x, w), (x, w)
-
-
-def _conv3x3_im2col_bwd(res, g):
-    x, w = res
-    n, H, W, ci = x.shape
-    gd = g.astype(x.dtype)
-    gp = jnp.pad(gd, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    dx = None
-    for u in range(3):
-        for v in range(3):
-            gs = lax.slice(gp, (0, 2 - u, 2 - v, 0),
-                           (n, 2 - u + H, 2 - v + W, gd.shape[-1]))
-            part = lax.dot_general(gs, w[u, v].astype(gd.dtype),
-                                   (((3,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
-            dx = part if dx is None else dx + part
-    patches = jnp.concatenate(
-        [lax.slice(xp, (0, u, v, 0), (n, u + H, v + W, ci))
-         for u in range(3) for v in range(3)], axis=-1)
-    dw = jnp.einsum("bhwj,bhwo->jo", patches, gd,
-                    preferred_element_type=jnp.float32)
-    dw = dw.reshape(3, 3, ci, w.shape[-1])
-    return dx.astype(x.dtype), dw.astype(w.dtype)
-
-
-_conv3x3_im2col.defvjp(_conv3x3_im2col_fwd, _conv3x3_im2col_bwd)
 
 
 def _thin_cout_ok(x_shape, k, cout, stride, pad_mode) -> bool:
