@@ -130,25 +130,45 @@ def train_phase_ondevice(state, stacks, config: GANTrainConfig, lr, num_epoch,
     avg_psnrs, avg_ssims, avg_lpipss = [], [], []
     last_d = last_g = float("nan")
 
+    # Cap single-dispatch size: a 10,000-step dispatch (800-image stack,
+    # --train_log_freq 100) reproducibly crashed the TPU worker process
+    # (docs/evidence_r5/prod_chunk_run*.log) while 1,000-step dispatches run
+    # fine at the same stack and the amortization curve is flat past ~600
+    # steps/dispatch (DESIGN.md round-4 knee; 13.4 ms/step steady at 800
+    # images with 1,000-step dispatches = the bench-rate). A log-cadence
+    # chunk therefore executes as ceil(chunk/max_ep) device dispatches;
+    # metrics still come from the chunk's FIRST epoch (the reference's
+    # epoch % log_freq == 0 logging point), so parity is unchanged.
+    steps_per_epoch = max(1, lr_u8.shape[0] // config.batch_size)
+    max_dispatch_steps = int(os.environ.get("TPUSR_MAX_DISPATCH_STEPS",
+                                            "2000"))
+    max_ep = max(1, max_dispatch_steps // steps_per_epoch)
+
     done = 0
     while done < num_epoch:
         chunk = min(train_log_freq, num_epoch - done)
-        key, k = jax.random.split(key)
         start_time = time.time()
-        state, logs = gan_train_epochs(
-            state, lr_u8, hr_u8, valid, k, config, lr,
-            content_loss=content_loss, n_epochs=chunk, lpips_fn=lpips_fn,
-            mesh=mesh)
-        losses_D = np.asarray(logs["losses_D"])
-        losses_G = np.asarray(logs["losses_G"])
-        last_d = float(losses_D[-1, -1])
-        last_g = float(losses_G[-1, -1])
-        avg_psnrs.append(float(logs["psnr"]))
-        avg_ssims.append(float(logs["ssim"]))
-        avg_lpipss.append(float(logs["lpips"]))
+        sub_done = 0
+        chunk_logs = None
+        while sub_done < chunk:
+            sub = min(max_ep, chunk - sub_done)
+            key, k = jax.random.split(key)
+            state, logs = gan_train_epochs(
+                state, lr_u8, hr_u8, valid, k, config, lr,
+                content_loss=content_loss, n_epochs=sub, lpips_fn=lpips_fn,
+                mesh=mesh)
+            if chunk_logs is None:
+                chunk_logs = logs  # metrics epoch = first epoch of the chunk
+            sub_done += sub
+        losses_D = np.asarray(chunk_logs["losses_D"])
+        last_d = float(np.asarray(logs["losses_D"])[-1, -1])
+        last_g = float(np.asarray(logs["losses_G"])[-1, -1])
+        avg_psnrs.append(float(chunk_logs["psnr"]))
+        avg_ssims.append(float(chunk_logs["ssim"]))
+        avg_lpipss.append(float(chunk_logs["lpips"]))
         print(f"Epoch {done + 1}/{num_epoch}:")
         print(f"Discriminator loss: {losses_D[0, -1]:.4f}")
-        print(f"Generator loss: {losses_G[0, -1]:.4f}")
+        print(f"Generator loss: {np.asarray(chunk_logs['losses_G'])[0, -1]:.4f}")
         print(f"Chunk of {chunk} epochs run time: {time.time() - start_time:.2f}s")
         done += chunk
         if ckpt_dir and ckpt_every and done % max(ckpt_every, 1) < chunk:
